@@ -1,0 +1,124 @@
+"""Label-anchor structured-field span extraction (deterministic, regex-based).
+
+Reinterprets the reference's field extraction for webtext:
+
+- the 14 YOLO classes (reference ``data/yolo_dataset/data.yaml:8-13``:
+  ``BA BAID INV INV_DATE INV_DATE_ID INV_ID ORD_DATE ORD_DATE_ID SA SAID SLR
+  SLR_ID TOTAL TOTAL_ID``) are (label-anchor, value) pairs; here the anchor is
+  a regex label ("Invoice No:", "Grand Total:") and the value is the adjacent
+  text span — 7 value fields total.
+- the per-strategy candidate lists with ``{value, confidence, method}``
+  (reference ``submission/utils/extractors.py:102-109``) and argmax selection
+  (``extractors.py:137-139``) are kept verbatim in spirit: every pattern that
+  fires emits a candidate; the best is picked by (confidence desc, start asc).
+- the regex families mirror ``extractors.py:35-65`` (compiled once at module
+  import "for efficiency", as the reference notes at extractors.py:35).
+
+Spans are (value, start, end, conf, method) with offsets into the
+byte-identical ``extracted_text`` — the webtext analog of the reference's
+bounding boxes (detector.py:20-37).
+
+Validation (range gates, manufacturer reject list, numeric normalize —
+reference ``submission/utils/validators.py:11-132``) is deliberately NOT here:
+it is applied as pure Spark Column expressions in ``operators/extract.py`` so
+it stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+FIELD_NAMES = (
+    "invoice_id",
+    "invoice_date",
+    "order_date",
+    "seller",
+    "billing_addr",
+    "shipping_addr",
+    "total",
+)
+
+
+class Span(NamedTuple):
+    value: str
+    start: int
+    end: int
+    conf: float
+    method: str
+
+
+_DATE = r"(\d{1,2}[/-]\d{1,2}[/-]\d{4}|\d{4}-\d{2}-\d{2}|[A-Z][a-z]{2,8}\.? \d{1,2}, \d{4})"
+_MONEY = r"([₹$£€]\s?[\d,]+(?:\.\d+)?|[\d,]+(?:\.\d+)?\s?(?:Lakhs?|lakhs?)|[\d,]{4,}(?:\.\d+)?)"
+_NAME = r"([^\n:]{3,80}?)"
+_EOL = r"(?=\n|$)"
+
+# (pattern, confidence, method) per field — anchored label patterns score 0.9
+# (the reference's keyword-anchored extractors, extractors.py:48-53), generic
+# pattern-only fallbacks score 0.6 (its currency-only scan, extractors.py:273).
+_FIELD_PATTERNS: dict[str, list[tuple[re.Pattern, float, str]]] = {
+    "invoice_id": [
+        (re.compile(r"(?:Invoice\s*(?:No|Number|ID|#)\.?|INV\s*#)\s*[:\-]?\s*([A-Z]{2,4}-?\d{4,8})", re.I), 0.9, "anchor"),
+        (re.compile(r"\b(INV-\d{6})\b"), 0.6, "pattern"),
+    ],
+    "invoice_date": [
+        (re.compile(r"Invoice\s*Date\s*[:\-]?\s*" + _DATE, re.I), 0.9, "anchor"),
+        (re.compile(r"\bDated\s*[:\-]\s*" + _DATE, re.I), 0.6, "pattern"),
+    ],
+    "order_date": [
+        (re.compile(r"Order\s*Date\s*[:\-]?\s*" + _DATE, re.I), 0.9, "anchor"),
+        (re.compile(r"Ordered\s*(?:on)?\s*[:\-]?\s*" + _DATE, re.I), 0.6, "pattern"),
+    ],
+    "seller": [
+        (re.compile(r"(?:Sold\s*By|Seller|Authorized\s*Dealer|Dealer)\s*[:\-]\s*" + _NAME + _EOL, re.I), 0.9, "anchor"),
+        (re.compile(r"(?:From|By)\s+([A-Z][\w&. ]{2,60}(?:TRACTORS|MOTORS|AGRO(?:TECH)?|ENTERPRISES|TRADERS))" + _EOL), 0.6, "pattern"),
+    ],
+    "billing_addr": [
+        (re.compile(r"Billing\s*Address\s*[:\-]\s*" + _NAME + _EOL, re.I), 0.9, "anchor"),
+        (re.compile(r"Bill\s*To\s*[:\-]\s*" + _NAME + _EOL, re.I), 0.8, "anchor2"),
+    ],
+    "shipping_addr": [
+        (re.compile(r"(?:Ship(?:ping)?\s*(?:To|Address))\s*[:\-]\s*" + _NAME + _EOL, re.I), 0.9, "anchor"),
+        (re.compile(r"Deliver\s*To\s*[:\-]\s*" + _NAME + _EOL, re.I), 0.8, "anchor2"),
+    ],
+    "total": [
+        (re.compile(r"(?:Grand\s*Total|Amount\s*Payable|Total\s*Amount)\s*[:\-]?\s*" + _MONEY, re.I), 0.9, "anchor"),
+        (re.compile(r"\bTotal\s*[:\-]?\s*" + _MONEY, re.I), 0.8, "anchor2"),
+        (re.compile(r"([₹$£€]\s?[\d,]{4,}(?:\.\d+)?)"), 0.6, "currency"),
+    ],
+}
+
+MAX_CANDIDATES_PER_FIELD = 8
+
+
+def field_candidates(text: str, name: str) -> list[Span]:
+    """All candidate spans for one field, in pattern-priority order.
+
+    Mirrors the reference's multi-strategy candidate accumulation
+    (extractors.py:102-139): every strategy appends ``{value, confidence,
+    method}``; selection happens later (argmax, here ``best_span``).
+    """
+    out: list[Span] = []
+    for pat, conf, method in _FIELD_PATTERNS[name]:
+        for m in pat.finditer(text):
+            v = m.group(1).strip()
+            if not v:
+                continue
+            out.append(Span(v, m.start(1), m.start(1) + len(m.group(1)), conf, method))
+            if len(out) >= MAX_CANDIDATES_PER_FIELD:
+                return out
+    return out
+
+
+def best_span(cands: list[Span]) -> Span | None:
+    """Argmax by (confidence desc, start asc) — the reference's
+    ``max(candidates, key=lambda c: c['confidence'])`` (extractors.py:137-139)
+    with a deterministic position tiebreak."""
+    if not cands:
+        return None
+    return min(cands, key=lambda s: (-s.conf, s.start))
+
+
+def extract_fields(text: str) -> dict[str, Span | None]:
+    """Best span per field over extracted_text (7 fields, possibly None)."""
+    return {name: best_span(field_candidates(text, name)) for name in FIELD_NAMES}

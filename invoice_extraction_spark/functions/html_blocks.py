@@ -1,0 +1,237 @@
+"""DOM block segmentation + boilerplate classification (pure stdlib, deterministic).
+
+This is the engine's analog of the reference's OCR + layout + vision stages:
+
+- block segmentation  <-> OCR text-block detection (reference
+  ``submission/utils/ocr.py:77-132`` — EasyOCR/Tesseract detections with
+  text + bbox + confidence)
+- region classification (header/body/footer)  <-> the y-band layout regioner
+  (``submission/utils/ocr.py:280-306``: top 20% header, bottom 15% footer)
+- text/link-density content scoring  <-> the YOLO/ROI density heuristics
+  (``submission/utils/vision.py:44-273``) re-expressed as a
+  Boilerpipe/CETD-style rule over DOM blocks
+
+Everything here is pure Python/stdlib (``html.parser``) so the output is
+bit-stable across environments — required for the byte-identical
+``extracted_text`` golden contract. No lxml (not in the sandbox, and version
+drift would break byte-identity anyway).
+
+The kernel is invoked on Arrow batches (a ``pd.Series`` of HTML bytes) from
+``operators/extract.py`` — never per-row from Spark.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags that start a new text block (nearest enclosing block element owns the
+# text). Mirrors the "detection = one visually coherent text region" notion of
+# the reference's OCR output (ocr.py:89-97).
+BLOCK_TAGS = frozenset(
+    """html body div p h1 h2 h3 h4 h5 h6 ul ol li dl dt dd table thead tbody
+    tfoot tr td th caption article section nav header footer aside main title
+    blockquote pre form fieldset figure figcaption address summary details
+    """.split()
+)
+
+# Content inside these is never text.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+
+# Content under these is kept as blocks but never main content.
+HEAD_TAGS = frozenset({"head", "title"})
+
+# Void elements never get a closing tag.
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Structural-boilerplate containers (the reference's header/footer y-bands,
+# ocr.py:284-287, plus nav/aside which have no invoice analog).
+BOILER_TAGS = frozenset({"nav", "header", "footer", "aside"})
+
+# id/class tokens that mark boilerplate (menus, ads, cookie banners ...).
+BOILER_ATTR_TOKENS = frozenset(
+    """nav navbar menu sidebar footer header banner ad ads advert cookie
+    breadcrumb pagination share social related promo masthead""".split()
+)
+
+MAX_HTML_BYTES = 2_000_000  # early size cap, analog of the reference's
+# 1800px image downscale before expensive ops (preprocess.py:34-42)
+
+LINK_DENSITY_MAX = 0.35
+MIN_CONTENT_TOKENS = 3
+MIN_KV_CHARS = 8  # short "Total: ₹830000" key-value lines still count
+
+
+@dataclass
+class Block:
+    """One DOM text block — the analog of an OCR detection struct
+    (``{text, bbox, confidence, source}``, ocr.py:89-97)."""
+
+    idx: int = -1
+    tag: str = ""
+    tag_path: str = ""
+    region: str = "body"  # head | boiler | body  (layout-regioner analog)
+    order: int = -1  # document order of first non-space text chunk
+    _chunks: list = field(default_factory=list)
+    _link_chunks: list = field(default_factory=list)
+    n_links: int = 0
+    n_tags: int = 0  # descendant tags opened while this block was innermost
+    text: str = ""
+    n_chars: int = 0
+    n_tokens: int = 0
+    link_chars: int = 0
+    link_density: float = 0.0
+    text_density: float = 0.0
+    is_content: bool = False
+
+    def finalize(self) -> bool:
+        raw = "".join(self._chunks)
+        self.text = unicodedata.normalize("NFC", " ".join(raw.split()))
+        if not self.text:
+            return False
+        self.n_chars = len(self.text)
+        self.n_tokens = len(self.text.split(" "))
+        link_raw = "".join(self._link_chunks)
+        self.link_chars = len(unicodedata.normalize("NFC", " ".join(link_raw.split())))
+        self.link_density = self.link_chars / self.n_chars
+        self.text_density = self.n_chars / (1.0 + self.n_tags)
+        self.is_content = (
+            self.region == "body"
+            and self.link_density <= LINK_DENSITY_MAX
+            and (
+                self.n_tokens >= MIN_CONTENT_TOKENS
+                or (":" in self.text and self.n_chars >= MIN_KV_CHARS)
+            )
+        )
+        return True
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []  # open tag names
+        self.block_stack: list[Block] = []
+        self.blocks: list[Block] = []
+        self.skip_depth = 0
+        self.head_depth = 0
+        self.boiler_depth = 0
+        self.link_depth = 0
+        self.data_counter = 0
+
+    def _is_boiler_attrs(self, attrs) -> bool:
+        for k, v in attrs:
+            if k in ("id", "class", "role") and v:
+                for tok in v.replace("-", " ").replace("_", " ").lower().split():
+                    if tok in BOILER_ATTR_TOKENS:
+                        return True
+        return False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            return
+        self.stack.append(tag)
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+        if tag in HEAD_TAGS:
+            self.head_depth += 1
+        if tag in BOILER_TAGS or self._is_boiler_attrs(attrs):
+            self.boiler_depth += 1
+            self.stack[-1] = tag + "!"  # mark so the matching close decrements
+        if tag == "a":
+            self.link_depth += 1
+            if self.block_stack:
+                self.block_stack[-1].n_links += 1
+        if self.block_stack:
+            self.block_stack[-1].n_tags += 1
+        if tag in BLOCK_TAGS:
+            b = Block(
+                tag=tag,
+                tag_path="/".join(t.rstrip("!") for t in self.stack),
+                region=(
+                    "head"
+                    if self.head_depth > 0
+                    else ("boiler" if self.boiler_depth > 0 else "body")
+                ),
+            )
+            self.block_stack.append(b)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        # unwind to the matching open tag (tolerates malformed nesting)
+        while self.stack:
+            top = self.stack.pop()
+            top_tag = top.rstrip("!")
+            if top.endswith("!"):
+                self.boiler_depth -= 1
+            if top_tag in SKIP_TAGS:
+                self.skip_depth -= 1
+            if top_tag in HEAD_TAGS:
+                self.head_depth -= 1
+            if top_tag == "a":
+                self.link_depth = max(0, self.link_depth - 1)
+            if top_tag in BLOCK_TAGS and self.block_stack:
+                b = self.block_stack.pop()
+                if b.finalize():
+                    self.blocks.append(b)
+            if top_tag == tag:
+                break
+
+    def handle_data(self, data):
+        if self.skip_depth > 0 or not self.block_stack:
+            return
+        b = self.block_stack[-1]
+        if data.strip():
+            if b.order == -1:
+                b.order = self.data_counter
+            self.data_counter += 1
+        b._chunks.append(data)
+        if self.link_depth > 0:
+            b._link_chunks.append(data)
+
+    def close_all(self):
+        while self.stack:
+            self.handle_endtag(self.stack[-1].rstrip("!"))
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    """Segment HTML into text blocks in document order, with density features.
+
+    Deterministic: stdlib parser, NFC normalization, single whitespace-collapse
+    rule (``" ".join(raw.split())``). Returns blocks sorted by document order
+    of their first text chunk (the reference sorts detections by top-y,
+    ocr.py:266 — document order is the DOM equivalent).
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html[:MAX_HTML_BYTES]).decode("utf-8", errors="replace")
+    else:
+        html = html[:MAX_HTML_BYTES]
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # graceful degradation, like the reference's engine fallbacks
+    p.close_all()
+    blocks = sorted(p.blocks, key=lambda b: b.order)
+    for i, b in enumerate(blocks):
+        b.idx = i
+    return blocks
+
+
+def extract_text(html: bytes | str) -> str:
+    """Main-content extraction: content blocks, document order, ``"\\n"``-joined.
+
+    THE byte-identical contract (BASELINE.json input_hint). Fallback when the
+    DOM yields no content blocks (the reference's Tesseract-second-engine
+    analog, ocr.py:100-132): whitespace-collapsed tag-stripped text of ALL
+    body blocks.
+    """
+    blocks = parse_blocks(html)
+    content = [b.text for b in blocks if b.is_content]
+    if not content:
+        content = [b.text for b in blocks if b.region == "body"]
+    return "\n".join(content)

@@ -1,0 +1,91 @@
+"""Text-analysis operators as pure Column expressions (JVM-side, codegen'd).
+
+The training-data-pipeline extras the task calls for: language-ID (n-gram /
+script heuristic), quality scoring (length/punct/stopword ratios), token
+counting, document fingerprinting. Each builder returns a Column over a text
+column, so these compose into any query and never leave WholeStageCodegen.
+
+Every expression here is deliberately writable in ANSI SQL too (DuckDB
+oracle parity — __spark_entry__.oracle_sql builds the mirror query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic stopword set for quality scoring / language evidence
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+_PUNCT_RE = r"[^.,;:!?]"  # everything that is NOT punctuation, for ratio
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization — split on single spaces (inputs are already
+    whitespace-collapsed by the extraction contract)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+
+
+def stopword_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(tokens(F.lower(c)), lambda t: t.isin(STOPWORDS_EN)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality score from length / punctuation / stopword
+    evidence — the boilerplate-vs-content scoring idea (reference vision-
+    heuristics, vision.py:126-273) lifted to corpus-quality filtering.
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*min(1, 10*stopword_ratio)
+          + 0.3*(1 - min(1, 20*punct_ratio_excess)) rounded to 4.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ntok = token_count(c).cast("double")
+    nchars = F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    stop_ratio = stopword_count(c).cast("double") / F.greatest(ntok, F.lit(1.0))
+    punct_ratio = punct_count(c).cast("double") / nchars
+    return F.round(
+        0.4 * F.least(F.lit(1.0), ntok / 100.0)
+        + 0.3 * F.least(F.lit(1.0), 10.0 * stop_ratio)
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 20.0 * punct_ratio)),
+        4,
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Script/n-gram heuristic language ID (reference EDA ``detect_language``:
+    Devanagari presence -> Hindi/Mixed; here extended with CJK/Cyrillic and an
+    English-stopword majority rule)."""
+    c = F.col(text) if isinstance(text, str) else text
+    en_evidence = stopword_count(c)
+    return (
+        F.when(c.rlike("[\\u0900-\\u097F]"), F.lit("hi"))
+        .when(c.rlike("[\\u4E00-\\u9FFF]"), F.lit("zh"))
+        .when(c.rlike("[\\u0400-\\u04FF]"), F.lit("ru"))
+        .when(en_evidence >= 3, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(text: Column | str, prefix_len: int = 64) -> Column:
+    """Cheap stable document fingerprint: md5 over (length, head, tail) —
+    the rolling-hash idea collapsed to a portable expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.length(c).cast("string"),
+            F.substring(c, 1, prefix_len),
+            F.substring(F.reverse(c), 1, prefix_len),
+        )
+    )

@@ -1,0 +1,182 @@
+"""Deduplication operators over a document table — exact, MinHash+LSH,
+SimHash, n-gram Jaccard. First-class components for the 100 TB training-data
+pipeline (task brief), all pure Column expressions (JVM-side, zero Python).
+
+Design notes for scale:
+- every hash is md5 (same function exists in DuckDB -> oracle-checkable, and
+  on a cluster it's a deterministic, partition-independent key);
+- exact dedup is one hash-groupBy shuffle on a 32-char key, not on the text;
+- MinHash/LSH: signatures are computed map-side (per-row array exprs, no
+  shuffle); only the *band keys* are exploded and shuffled — k rows per doc,
+  not O(shingles) — then a self-equi-join on the band key finds candidate
+  pairs. That's the standard shuffle-lean LSH plan: at 10^12 docs the band
+  join is the only wide edge and AQE's skew-join splitting handles hot bands.
+- SimHash is emitted as a 32-char bit-string (portable; no int bit-ops) —
+  near-dup buckets come from prefix bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (distinct, for set semantics).
+
+    Short texts (< n tokens) yield one shingle = the whole token span, so no
+    row silently drops out of dedup.
+    """
+    toks = F.split(text_col, " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text, with the
+    group size and the kept (minimum) id. Hash first so the shuffle moves
+    32-byte keys, not documents."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct text (min id wins) — the corpus-
+    dedup primitive. Implemented as hash-groupBy + semi-join back."""
+    keep = exact_dup_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signature(text_col, num_hashes: int = 8, shingle_n: int = 3):
+    """MinHash signature as an array of hex-string minima.
+
+    sig_j = min over shingles s of md5(j || ':' || s). Lexicographic min over
+    md5 hex strings is a valid uniform min-hash family and — unlike integer
+    mixing — is implementable identically in ANSI SQL (oracle parity).
+    """
+    sh = word_shingles(text_col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_band_keys(text_col, num_bands: int = 4, rows_per_band: int = 2):
+    """LSH band keys: md5 over each contiguous signature slice."""
+    sig = minhash_signature(text_col, num_bands * rows_per_band)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.md5(
+            F.concat(
+                b.cast("string"),
+                F.lit("|"),
+                F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Plan: map-side signature -> explode band keys (k small rows/doc) ->
+    self-equi-join on band -> distinct pairs. The join is the only shuffle.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(minhash_band_keys(F.col(text_col), num_bands, rows_per_band)).alias("band"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard >= threshold.
+
+    The verify join re-attaches shingle sets only for candidate ids (semi-
+    joined), so full shingle arrays never shuffle for non-candidates.
+    """
+    cands = lsh_candidate_pairs(df, text_col, id_col, num_bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash_bits(text_col, bits: int = 32):
+    """SimHash as a 32-char '0'/'1' string (portable — no integer bit ops).
+
+    Per token t, bit b's evidence is the high bit of hex nibble b of md5(t)
+    (hex char >= '8'); the document bit is the sign of the summed evidence.
+    """
+    toks = F.split(text_col, " ")
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda b: F.when(
+                F.aggregate(
+                    toks,
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(F.substring(F.md5(t), b, 1) >= "8", 1).otherwise(-1),
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix: int = 16
+) -> DataFrame:
+    """Docs grouped by SimHash prefix band — near-dup buckets at scale
+    (bucket key is tiny and shuffle-friendly)."""
+    s = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simhash"))
+    return s.groupBy(F.substring("simhash", 1, prefix).alias("simhash_band")).agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("min_id")
+    )

@@ -1,0 +1,208 @@
+"""The extraction pipeline: pages DataFrame -> extracted rows DataFrame.
+
+Physical shape (SURVEY.md §3 "our lifecycle"):
+
+    scan (url, warc_ts, html, lang)             -- column pruning: html only
+      -> salted repartition on hash(url)        -- north rule: break host skew
+      -> ONE ArrowEvalPython stage (mapInPandas) -- DOM parse + block scoring
+         + anchor span extraction fused in a single Python round-trip
+      -> pure-Column validation (when/otherwise) -- stays in WholeStageCodegen
+      -> confidence arithmetic (Column math)
+      -> sink (atomic append + lineage)
+
+The per-document work matches the reference pipeline stage-for-stage
+(executable.py:54-65: encode -> extract -> validate -> confidence) but runs as
+vectorized Arrow batches with zero per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.fields import FIELD_NAMES, extract_fields
+from ..functions.html_blocks import extract_text, parse_blocks
+
+if TYPE_CHECKING:
+    pass
+
+SPAN_T = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("conf", T.DoubleType()),
+        T.StructField("method", T.StringType()),
+    ]
+)
+
+FIELDS_T = T.StructType([T.StructField(n, SPAN_T) for n in FIELD_NAMES])
+
+EXTRACT_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_content_blocks", T.IntegerType()),
+        T.StructField("bytes_in", T.LongType()),
+        T.StructField("fields", FIELDS_T),
+    ]
+)
+
+# Validation vocabulary (reference submission/utils/validators.py:26-42 —
+# manufacturer reject list + dealer-words override; master data shape in
+# sample_output/master_data_example.json).
+MANUFACTURER_REJECT = ["MAHINDRA", "TAFE", "SONALIKA", "JOHN DEERE", "ESCORTS", "SWARAJ"]
+DEALER_WORDS = ["TRACTORS", "MOTORS", "AGRO", "AGROTECH", "ENTERPRISES", "TRADERS"]
+TOTAL_MIN, TOTAL_MAX = 10_000.0, 100_000_000.0  # validators.py:86-95
+CONFIDENCE_CAP = 0.97  # confidence.py caps at 97
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batch in, Arrow batch out. All heavy work
+    (DOM parse V2, layout V4, boilerplate classify V5, anchor extraction V6 —
+    SURVEY.md §2.8) fused into one executor-side Python stage."""
+    for pdf in it:
+        out = {
+            "url": pdf["url"].tolist(),
+            "warc_ts": pdf["warc_ts"].tolist(),
+            "lang": pdf["lang"].tolist() if "lang" in pdf else [None] * len(pdf),
+            "extracted_text": [],
+            "n_blocks": [],
+            "n_content_blocks": [],
+            "bytes_in": [],
+            "fields": [],
+        }
+        for html in pdf["html"]:
+            blocks = parse_blocks(html)
+            content = [b.text for b in blocks if b.is_content]
+            if not content:
+                content = [b.text for b in blocks if b.region == "body"]
+            text = "\n".join(content)
+            spans = extract_fields(text)
+            out["extracted_text"].append(text)
+            out["n_blocks"].append(len(blocks))
+            out["n_content_blocks"].append(sum(1 for b in blocks if b.is_content))
+            out["bytes_in"].append(len(html) if html is not None else 0)
+            out["fields"].append(
+                {
+                    n: (
+                        {
+                            "value": s.value,
+                            "start": s.start,
+                            "end": s.end,
+                            "conf": s.conf,
+                            "method": s.method,
+                        }
+                        if s is not None
+                        else None
+                    )
+                    for n, s in spans.items()
+                }
+            )
+        yield pd.DataFrame(out)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_seed: int = 42) -> DataFrame:
+    """Explicit hash-partitioning on url with a seed-salt (north rule).
+
+    ``xxhash64(url, salt)`` decorrelates the shuffle key from however the
+    input files were clustered (Common Crawl WARCs are host-adjacent), so one
+    hot host can never pin a partition. At 1000 executors this is the
+    difference between 32 stragglers and a flat stage.
+    """
+    return df.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt_seed)))
+
+
+def _null_span() -> F.Column:
+    return F.lit(None).cast(SPAN_T)
+
+
+def validate_fields(df: DataFrame) -> DataFrame:
+    """Pure-Column validation — the reference's validators.py:11-132 semantics
+    expressed as when/otherwise so it stays inside WholeStageCodegen (zero
+    Python). Adds ``total_amount DOUBLE`` (numeric normalize, validators.py:80-83)
+    and nulls invalid spans.
+    """
+    f = F.col("fields")
+
+    # --- total: numeric normalize + range gate (validators.py:86-95) ---
+    tv = f["total"]["value"]
+    num = F.regexp_replace(tv, r"[^0-9.]", "").cast("double")
+    amount = F.when(F.lower(tv).contains("lakh"), num * 100_000.0).otherwise(num)
+    total_ok = f["total"].isNotNull() & amount.between(TOTAL_MIN, TOTAL_MAX)
+
+    # --- seller: manufacturer reject unless dealer-word present
+    #     (validators.py:26-42) ---
+    sv = F.upper(F.trim(f["seller"]["value"]))
+    has_dealer_word = F.exists(
+        F.split(sv, r"\s+"), lambda w: w.isin(DEALER_WORDS)
+    )
+    seller_ok = f["seller"].isNotNull() & (
+        ~sv.isin(MANUFACTURER_REJECT) | has_dealer_word
+    )
+
+    # --- dates/ids/addresses: non-empty sanity (validators.py:23-55 null
+    #     gates; dates stay raw spans — reference never parses dates) ---
+    def nonempty_ok(name: str) -> F.Column:
+        return f[name].isNotNull() & (F.length(F.trim(f[name]["value"])) > 0)
+
+    validated = F.struct(
+        *[
+            F.when(
+                {
+                    "total": total_ok,
+                    "seller": seller_ok,
+                }.get(n, nonempty_ok(n)),
+                f[n],
+            )
+            .otherwise(_null_span())
+            .alias(n)
+            for n in FIELD_NAMES
+        ]
+    )
+    return df.withColumn("fields", validated).withColumn(
+        "total_amount", F.when(total_ok, F.round(amount, 2)).otherwise(F.lit(None).cast("double"))
+    )
+
+
+def score_confidence(df: DataFrame) -> DataFrame:
+    """Field-count confidence (reference confidence.py:6-41): non-null fields
+    / 7, capped at 0.97, rounded to 2 — pure Column arithmetic (A3)."""
+    found = sum(
+        F.col("fields")[n].isNotNull().cast("int") for n in FIELD_NAMES
+    )
+    conf = F.round(
+        F.least(found.cast("double") / F.lit(float(len(FIELD_NAMES))), F.lit(CONFIDENCE_CAP)), 2
+    )
+    return df.withColumn("n_fields_found", found).withColumn("confidence", conf)
+
+
+def extract_pages(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    salt_seed: int = 42,
+) -> DataFrame:
+    """Full pipeline over an input-hint-shaped DataFrame
+    ``(url, warc_ts, html, text, lang)`` -> extracted output table.
+
+    Column-prunes to the 4 needed columns before the Arrow stage (the `text`
+    crawler-baseline column is never shipped to Python).
+    """
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
+    pruned = df.select(*cols)
+    if "warc_ts" not in pruned.columns:
+        pruned = pruned.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    if "lang" not in pruned.columns:
+        pruned = pruned.withColumn("lang", F.lit(None).cast("string"))
+    if num_partitions:
+        pruned = salted_repartition(pruned, num_partitions, salt_seed)
+    raw = pruned.mapInPandas(_extract_batches, schema=EXTRACT_RAW_SCHEMA)
+    return score_confidence(validate_fields(raw))

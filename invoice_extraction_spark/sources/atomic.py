@@ -1,0 +1,160 @@
+"""Atomic snapshot commits + per-partition lineage + resume (north rule).
+
+The north rule requires: "per-partition lineage rows + counters committed
+atomically, resumable from last good snapshot". On a production cluster this
+is Iceberg: ``df.writeTo(tbl).append()`` is a single atomic snapshot commit,
+and the lineage table is a second table written in the same application.
+
+The sandbox has no Iceberg jars, so this module emulates the exact commit
+contract on plain parquet (SURVEY.md §7 "hard parts" #4):
+
+- data files are written to ``<table>/data/<run_id>/`` (invisible to readers)
+- a *manifest* JSON listing those files + lineage counters is written to a
+  temp file and ``os.rename``d into ``<table>/_manifests/`` — the atomic
+  publish point (POSIX rename atomicity = Iceberg's metadata swap)
+- readers list manifests and load exactly the committed files
+- resume = left_anti join of the source against committed urls
+
+A crashed run leaves orphan data files but NO manifest — the table never sees
+partial output, and re-running skips nothing it shouldn't.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_COLS = [
+    "run_id",
+    "partition_id",
+    "n_rows",
+    "n_ok",
+    "n_failed",
+    "bytes_in",
+    "committed_at",
+]
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifests")
+
+
+def list_manifests(table_dir: str) -> list[dict]:
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def committed_files(table_dir: str) -> list[str]:
+    files: list[str] = []
+    for m in list_manifests(table_dir):
+        files.extend(m["files"])
+    return files
+
+
+def commit_append(
+    df: DataFrame,
+    table_dir: str,
+    run_id: str | None = None,
+    ok_predicate: str = "extracted_text IS NOT NULL AND length(extracted_text) > 0",
+) -> dict:
+    """Write ``df`` as one atomic snapshot append; returns the manifest.
+
+    Per-partition lineage counters come from a single aggregate over the
+    written data keyed by ``spark_partition_id()`` (no second pass over the
+    source). The manifest (files + lineage) is published with one atomic
+    rename — the Iceberg-snapshot-commit analog.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    # data dir is unique per COMMIT (not per run_id): a retried run_id must
+    # never clobber files an earlier manifest already points at
+    data_dir = os.path.join(table_dir, "data", f"{run_id}-{uuid.uuid4().hex[:8]}")
+    staged = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_ok", F.expr(ok_predicate)
+    )
+    staged.write.mode("overwrite").parquet(data_dir)
+
+    written = df.sparkSession.read.parquet(data_dir)
+    lineage_rows = (
+        written.groupBy("_pid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("_ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("_ok")).cast("long")).alias("n_failed"),
+            F.sum(F.coalesce(F.col("bytes_in"), F.lit(0))).alias("bytes_in"),
+        )
+        .collect()
+    )
+    files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    manifest = {
+        "run_id": run_id,
+        "files": sorted(files),
+        "committed_at": time.time(),
+        "lineage": [
+            {
+                "run_id": run_id,
+                "partition_id": r["_pid"],
+                "n_rows": r["n_rows"],
+                "n_ok": r["n_ok"],
+                "n_failed": r["n_failed"],
+                "bytes_in": r["bytes_in"],
+            }
+            for r in lineage_rows
+        ],
+    }
+    mdir = _manifest_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{run_id}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(mdir, f"{int(time.time() * 1000)}-{run_id}.json"))
+    return manifest
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read exactly the committed snapshot (uncommitted data files ignored)."""
+    files = committed_files(table_dir)
+    if not files:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    return spark.read.parquet(*files).drop("_pid", "_ok")
+
+
+def lineage_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    rows = [ln for m in list_manifests(table_dir) for ln in m["lineage"]]
+    if not rows:
+        return spark.createDataFrame(
+            [], "run_id string, partition_id int, n_rows long, n_ok long, n_failed long, bytes_in long"
+        )
+    return spark.createDataFrame(rows)
+
+
+def pending_source(source: DataFrame, table_dir: str, key: str = "url") -> DataFrame:
+    """Resume: rows of ``source`` not yet in any committed snapshot.
+
+    left_anti against committed keys (SURVEY.md §2.9). The committed-key side
+    is small relative to the source at resume time and is broadcast when under
+    the threshold; at 10^12-doc scale use the Iceberg lineage table partition
+    filter first, then the anti-join.
+    """
+    try:
+        done = read_table(source.sparkSession, table_dir).select(key).distinct()
+    except FileNotFoundError:
+        return source
+    return source.join(done, key, "left_anti")

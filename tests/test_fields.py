@@ -1,0 +1,72 @@
+"""Kernel unit tests — label-anchor span extraction (reference extractors.py
+candidate/argmax semantics, SURVEY.md §2.7-2.8)."""
+
+from invoice_extraction_spark.functions.fields import (
+    FIELD_NAMES,
+    best_span,
+    extract_fields,
+    field_candidates,
+)
+
+TEXT = (
+    "Big Tractor Sale\n"
+    "Invoice No: INV-123456\n"
+    "Invoice Date: 04/03/2021\n"
+    "Order Date: Mar 1, 2021\n"
+    "Sold By: SABAR AGROTECH\n"
+    "Billing Address: 12 Market Road, Pune 411001\n"
+    "Ship To: 9 Field Lane, Rajkot 360001\n"
+    "Grand Total: ₹8,30,000"
+)
+
+
+def test_all_fields_extracted_with_offsets():
+    f = extract_fields(TEXT)
+    assert f["invoice_id"].value == "INV-123456"
+    assert f["invoice_date"].value == "04/03/2021"
+    assert f["order_date"].value == "Mar 1, 2021"
+    assert f["seller"].value == "SABAR AGROTECH"
+    assert f["billing_addr"].value == "12 Market Road, Pune 411001"
+    assert f["shipping_addr"].value == "9 Field Lane, Rajkot 360001"
+    assert f["total"].value == "₹8,30,000"
+    # span offsets index into the text (bbox analog, detector.py:20-37)
+    for name in FIELD_NAMES:
+        s = f[name]
+        assert TEXT[s.start : s.end] == s.value
+
+
+def test_argmax_prefers_anchored_over_generic():
+    text = "some ₹999,999 noise\nGrand Total: ₹830,000"
+    cands = field_candidates(text, "total")
+    best = best_span(cands)
+    assert best.value == "₹830,000"
+    assert best.method == "anchor"
+    assert any(c.method == "currency" for c in cands)
+
+
+def test_tie_break_earliest_start():
+    text = "Grand Total: ₹10,000\nGrand Total: ₹20,000"
+    assert best_span(field_candidates(text, "total")).value == "₹10,000"
+
+
+def test_missing_fields_are_none():
+    f = extract_fields("nothing invoice-like here at all")
+    assert all(f[n] is None for n in FIELD_NAMES)
+
+
+def test_anchor_without_value_not_matched():
+    f = extract_fields("Invoice No:\nGrand Total:")
+    assert f["invoice_id"] is None
+    assert f["total"] is None
+
+
+def test_lakhs_and_date_format_variants():
+    f = extract_fields("Amount Payable: 8.3 Lakhs\nInvoice Date: 2021-03-04")
+    assert f["total"].value == "8.3 Lakhs"
+    assert f["invoice_date"].value == "2021-03-04"
+
+
+def test_order_date_anchor_does_not_leak_into_invoice_date():
+    f = extract_fields("Order Date: 28/12/2021")
+    assert f["order_date"].value == "28/12/2021"
+    assert f["invoice_date"] is None
