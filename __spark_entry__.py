@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship: full extraction pipeline over a deterministic
+                  synthetic page corpus sized to sf0.001.
+queries()      -- one entry per implemented operator family (SURVEY.md §2 +
+                  the training-data-pipeline extras: dedup, similarity,
+                  text analysis).
+oracle_sql()   -- DuckDB-runnable ANSI SQL equivalents. Hash-portability
+                  rules: md5 hex strings for all hashing, DECIMAL casts for
+                  money sums, ROUND(…, 4) for float comparisons, explicit
+                  deterministic ORDER BY tiebreaks.
 """
 
 from __future__ import annotations
@@ -12,27 +16,579 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from invoice_extraction_spark.corpus import pages_pdf
+from invoice_extraction_spark.functions import text_metrics as tm
+from invoice_extraction_spark.operators import dedup as dd
+from invoice_extraction_spark.operators import similarity as sim
+from invoice_extraction_spark.operators.extract import extract_pages
+
+N_FLAGSHIP_DOCS = 500  # sf0.001-equivalent corpus size
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the north-rule page corpus deterministically and
+    run the full extraction pipeline (DOM parse -> block scoring -> anchor
+    spans -> Column validation -> confidence)."""
+    df = spark.createDataFrame(pages_pdf(N_FLAGSHIP_DOCS))
+    out = extract_pages(df, num_partitions=32)
+    return out.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "extracted_text",
+        "n_blocks",
+        "n_content_blocks",
+        "n_fields_found",
+        "confidence",
+        "total_amount",
+        "fields",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries (spark side)
+# --------------------------------------------------------------------------
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction over the synthetic corpus — rows-only check (the HTML
+    kernel is not SQL-expressible); byte-identity is enforced by pytest
+    goldens instead."""
+    df = spark.createDataFrame(pages_pdf(N_FLAGSHIP_DOCS))
+    return (
+        extract_pages(df, num_partitions=32)
+        .select("url", "lang", "n_blocks", "n_content_blocks", "n_fields_found", "confidence")
+        .orderBy("url")
+    )
+
+
+def _q_doc_stats_by_lang(spark, sf_dir):
+    """A10 analog (EDA per-language group-bys)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.floor(F.sum("n_chars") * F.lit(100) / F.count("*")).alias("avg_chars_x100"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_token_stats_by_source(spark, sf_dir):
+    """Token counting (training-data text analysis) as pure Column exprs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", tm.token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_lang_guess_counts(spark, sf_dir):
+    """Language-ID heuristic (script regex + stopword evidence; F8 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tm.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    """Quality scoring (length/punct/stopword ratios) — binned distribution."""
+    d = _t(spark, sf_dir, "documents")
+    score = tm.quality_score("text")
+    return (
+        d.select(F.floor(score * 10).cast("int").alias("q_bin"))
+        .groupBy("q_bin")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("q_bin")
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    """Exact dedup summary: hash-groupBy distinct-text accounting."""
+    d = _t(spark, sf_dir, "documents")
+    g = dd.exact_dup_groups(d)
+    return g.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum("n_dups").alias("n_rows"),
+        F.max("n_dups").alias("max_group"),
+    )
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 hashes) for the first 100 docs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    s = dd.minhash_signature(F.col("text"), 4)
+    return d.select(
+        "doc_id",
+        F.element_at(s, 1).alias("sig0"),
+        F.element_at(s, 2).alias("sig1"),
+        F.element_at(s, 3).alias("sig2"),
+        F.element_at(s, 4).alias("sig3"),
+    ).orderBy("doc_id")
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (band join)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(d, num_bands=4, rows_per_band=2).orderBy("id_a", "id_b")
+
+
+def _q_simhash_bands(spark, sf_dir):
+    """SimHash near-dup buckets (16-bit prefix bands)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.simhash_buckets(d, prefix=16).orderBy("simhash_band")
+
+
+def _q_fingerprints(spark, sf_dir):
+    """Document fingerprinting (md5 over length|head|tail)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", tm.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.brute_force_topk(e, qv, k=10)
+
+
+def _q_centroid_topk_per_label(spark, sf_dir):
+    """Per-label centroid nearest-3 (window top-k over broadcast centroid dim)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.pairwise_topk_per_label(e, k=3).orderBy("label", F.desc("cos_sim"), "vec_id")
+
+
+def _q_events_severity(spark, sf_dir):
+    """A7 analog: category -> severity mapping + rollup."""
+    ev = _t(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type").isin("error"), "high")
+        .when(F.col("event_type").isin("purchase", "signup"), "medium")
+        .otherwise("low")
+    )
+    return (
+        ev.select(sev.alias("severity"), "value")
+        .groupBy("severity")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("severity")
+    )
+
+
+def _q_events_binned(spark, sf_dir):
+    """A8 analog: bucket metric into bins, count + mean per bin."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(5))
+    return (
+        ev.select(b.alias("value_bin"), "value")
+        .groupBy("value_bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"), 4).alias("avg_value"),
+        )
+        .orderBy("value_bin")
+    )
+
+
+def _q_top5_event_types(spark, sf_dir):
+    """A6/W3 analog: error-frequency top-5."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(5)
+    )
+
+
+def _q_user_sessions(spark, sf_dir):
+    """Window functions (lag + cumulative sum): 30-min-gap sessionization,
+    then sessions-per-user distribution."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps land as TIMESTAMP_NTZ in Spark 4, which can't
+    # cast straight to long; hop through TIMESTAMP (session tz = UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn("new_session", (gap.isNull() | (gap > 1800)).cast("int"))
+    per_user = marked.groupBy("user_id").agg(F.sum("new_session").alias("n_sessions"))
+    return (
+        per_user.groupBy("n_sessions")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("n_sessions")
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog (A5 batch summary): scan-side filter + hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_top_customers(spark, sf_dir):
+    """J2-J4 analog: broadcast dim joins + top-K revenue (Q10-ish)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+def _q_region_customer_counts(spark, sf_dir):
+    """Broadcast snowflake join: customers + acctbal per region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _q_order_priority_by_status(spark, sf_dir):
+    """Multi-dim agg + distinct count (A10/A11 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _q_stream_union_distinct(spark, sf_dir):
+    """U1/U3 analog: union of two filtered event streams + distinct count."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def _q_best_order_per_customer(spark, sf_dir):
+    """W-family analog: row_number window top-1 (best-span-per-field shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    top = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2).alias("best_price"),
+        )
+        .filter(F.col("o_custkey") < 100)
+        .orderBy("o_custkey")
+    )
+
+
+def _q_field_regex_docs(spark, sf_dir):
+    """F1-F7 regex-family analog runnable on the driver's documents table:
+    keyword detection + per-lang rates."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.col("text").rlike("invoice").cast("int").alias("has_invoice"),
+            F.col("text").rlike("customer").cast("int").alias("has_customer"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("has_invoice").alias("n_invoice"),
+            F.sum("has_customer").alias("n_customer"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_pages": _q_extract_pages,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "token_stats_by_source": _q_token_stats_by_source,
+        "lang_guess_counts": _q_lang_guess_counts,
+        "quality_scores": _q_quality_scores,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash_bands": _q_simhash_bands,
+        "fingerprints": _q_fingerprints,
+        "cosine_topk": _q_cosine_topk,
+        "centroid_topk_per_label": _q_centroid_topk_per_label,
+        "events_severity": _q_events_severity,
+        "events_binned": _q_events_binned,
+        "top5_event_types": _q_top5_event_types,
+        "user_sessions": _q_user_sessions,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_top_customers": _q_revenue_top_customers,
+        "region_customer_counts": _q_region_customer_counts,
+        "order_priority_by_status": _q_order_priority_by_status,
+        "stream_union_distinct": _q_stream_union_distinct,
+        "best_order_per_customer": _q_best_order_per_customer,
+        "field_regex_docs": _q_field_regex_docs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,1)+1),
+       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM toks)
+"""
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it','for','on')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS sig{j}"
+        for j in range(4)
+    )
+    band_sig = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS s{j}"
+        for j in range(8)
+    )
+    return {
+        "doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(FLOOR(SUM(n_chars) * 100.0 / COUNT(*)) AS BIGINT) AS avg_chars_x100
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "token_stats_by_source": """
+            WITH t AS (SELECT source,
+                CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text,' ')) END AS n_tokens
+                FROM documents)
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(MAX(n_tokens) AS INT) AS max_tokens
+            FROM t GROUP BY source ORDER BY source
+        """,
+        "lang_guess_counts": f"""
+            WITH g AS (SELECT lang,
+                CASE WHEN regexp_matches(text, '[\\x{{0900}}-\\x{{097F}}]') THEN 'hi'
+                     WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+                     WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04FF}}]') THEN 'ru'
+                     WHEN len(list_filter(string_split(lower(text),' '),
+                              t -> t IN {_STOPWORDS_SQL})) >= 3 THEN 'en'
+                     ELSE 'und' END AS lang_guess
+                FROM documents)
+            SELECT lang, lang_guess, COUNT(*) AS n FROM g
+            GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+        """,
+        "quality_scores": f"""
+            WITH m AS (SELECT
+                CASE WHEN length(text)=0 THEN 0 ELSE len(string_split(text,' ')) END AS ntok,
+                greatest(length(text), 1) AS nchars,
+                len(list_filter(string_split(lower(text),' '), t -> t IN {_STOPWORDS_SQL})) AS nstop,
+                length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS npunct
+                FROM documents),
+            s AS (SELECT ROUND(
+                0.4 * least(1.0, ntok/100.0)
+              + 0.3 * least(1.0, 10.0 * (nstop * 1.0 / greatest(ntok,1)))
+              + 0.3 * (1.0 - least(1.0, 20.0 * (npunct * 1.0 / nchars))), 4) AS score FROM m)
+            SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
+            FROM s GROUP BY q_bin ORDER BY q_bin
+        """,
+        "exact_dedup": """
+            WITH g AS (SELECT md5(text) AS h, COUNT(*) AS n_dups FROM documents GROUP BY 1)
+            SELECT COUNT(*) AS n_distinct_texts, CAST(SUM(n_dups) AS BIGINT) AS n_rows,
+                   CAST(MAX(n_dups) AS BIGINT) AS max_group FROM g
+        """,
+        "minhash_signatures": _SHINGLES_CTE
+        + f"""
+            SELECT doc_id, {sigs}
+            FROM sh WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "lsh_pairs": _SHINGLES_CTE
+        + f"""
+            , sig AS (SELECT doc_id, {band_sig} FROM sh),
+            bands AS (
+                SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
+                UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
+                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        "simhash_bands": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents WHERE doc_id < 200),
+            s AS (SELECT doc_id,
+                list_aggregate(list_transform(range(1,33), b ->
+                    CASE WHEN list_sum(list_transform(t, tok ->
+                        CASE WHEN substr(md5(tok), CAST(b AS INT), 1) >= '8' THEN 1 ELSE -1 END)) > 0
+                    THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+                FROM toks)
+            SELECT substr(simhash, 1, 16) AS simhash_band, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+            FROM s GROUP BY 1 ORDER BY simhash_band
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(concat_ws('|', CAST(length(text) AS VARCHAR),
+                   substr(text, 1, 64), substr(reverse(text), 1, 64))) AS fp
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+            FROM embeddings, q
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "centroid_topk_per_label": """
+            WITH u AS (SELECT vec_id, label, embedding[CAST(i AS INT)] AS v, i AS pos
+                       FROM embeddings, range(1, 65) AS t(i)),
+            c AS (SELECT label, pos, AVG(v) AS cv FROM u GROUP BY label, pos),
+            cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM c GROUP BY label),
+            s AS (SELECT e.label, e.vec_id,
+                  ROUND(list_dot_product(e.embedding::DOUBLE[], cent.centroid)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(cent.centroid, cent.centroid))), 4) AS cos_sim
+                  FROM embeddings e JOIN cent USING(label))
+            SELECT label, vec_id, cos_sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+            WHERE rn <= 3 ORDER BY label, cos_sim DESC, vec_id
+        """,
+        "events_severity": """
+            SELECT CASE WHEN event_type IN ('error') THEN 'high'
+                        WHEN event_type IN ('purchase','signup') THEN 'medium'
+                        ELSE 'low' END AS severity,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1 ORDER BY severity
+        """,
+        "events_binned": """
+            SELECT least(CAST(FLOOR(value / 50) AS INT), 5) AS value_bin,
+                   COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+            FROM events GROUP BY 1 ORDER BY value_bin
+        """,
+        "top5_event_types": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+        """,
+        "user_sessions": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+            g AS (SELECT user_id,
+                CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+                FROM e),
+            pu AS (SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM g GROUP BY user_id)
+            SELECT n_sessions, COUNT(*) AS n_users FROM pu GROUP BY n_sessions ORDER BY n_sessions
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "region_customer_counts": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "order_priority_by_status": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "stream_union_distinct": """
+            SELECT COUNT(*) AS n_users FROM (
+                SELECT DISTINCT user_id FROM (
+                    SELECT user_id FROM events WHERE event_type = 'error'
+                    UNION ALL
+                    SELECT user_id FROM events WHERE event_type = 'signup'))
+        """,
+        "best_order_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS best_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1 AND o_custkey < 100 ORDER BY o_custkey
+        """,
+        "field_regex_docs": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN regexp_matches(text, 'invoice') THEN 1 ELSE 0 END) AS BIGINT) AS n_invoice,
+                   CAST(SUM(CASE WHEN regexp_matches(text, 'customer') THEN 1 ELSE 0 END) AS BIGINT) AS n_customer
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+    }

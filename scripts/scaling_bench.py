@@ -1,0 +1,113 @@
+"""Two-parallelism scaling bench (north rule: throughput scaling efficiency
+>= 0.8 from N to 4N executors; sandbox stand-in = local[8] vs local[32] on the
+SAME input).
+
+Each level runs in its OWN subprocess (a SparkSession's master can't change
+in-process), over the same deterministic corpus written once to parquet.
+Writes BENCH/BASELINE.md with pages/sec at both levels + efficiency.
+
+    python scripts/scaling_bench.py [n_pages] [N_low] [N_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from invoice_extraction_spark.session import get_spark
+from invoice_extraction_spark.operators.extract import extract_pages
+
+cpus = int(sys.argv[1]); corpus = sys.argv[2]
+spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(1000).selectExpr("sum(id)").collect()  # warm JVM + py workers
+src = spark.read.parquet(corpus)
+n = src.count()
+t0 = time.time()
+out = extract_pages(src, num_partitions=cpus * 2)
+n_out = out.count()
+wall = time.time() - t0
+assert n_out == n
+spark.stop()
+print(json.dumps({"cpus": cpus, "wall": wall, "pages": n,
+                  "pages_per_sec": n / wall}))
+"""
+
+
+def run_level(cpus: int, corpus: str) -> dict:
+    script = WORKER % {"repo": REPO}
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), corpus],
+        capture_output=True, text=True, timeout=3600, check=False,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-3000:])
+        raise RuntimeError(f"worker local[{cpus}] produced no result")
+    return json.loads(lines[-1])
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    corpus = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{n_pages}")
+    if not os.path.exists(corpus):
+        # write once, distributed, with the high-parallelism session
+        script = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from invoice_extraction_spark.session import get_spark\n"
+            "from invoice_extraction_spark.corpus import synth_pages_spark\n"
+            "spark = get_spark(master='local[%d]')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "synth_pages_spark(spark, %d, partitions=%d).write.mode('overwrite').parquet(%r)\n"
+            "spark.stop()\n" % (REPO, hi, n_pages, hi * 2, corpus)
+        )
+        subprocess.run([sys.executable, "-c", script], check=True, timeout=3600)
+
+    r_lo = run_level(lo, corpus)
+    r_hi = run_level(hi, corpus)
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as fh:
+        fh.write(
+            f"""# BENCH/BASELINE — measured extraction throughput & scaling
+
+Same deterministic corpus ({n_pages} synthetic Common-Crawl-style pages,
+parquet), same job (`extract_pages`: DOM parse -> block scoring -> anchor
+spans -> Column validation), run at two parallelism levels as the sandbox
+stand-in for N vs 4N executors (BASELINE.json north_rule).
+
+| level | pages/sec | wall (s) |
+|---|---|---|
+| local[{lo}] (N) | {r_lo["pages_per_sec"]:.1f} | {r_lo["wall"]:.1f} |
+| local[{hi}] (4N) | {r_hi["pages_per_sec"]:.1f} | {r_hi["wall"]:.1f} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
+
+Reference baseline (BASELINE.md): 0.034-0.038 docs/s single-threaded
+(26-29 s/invoice). This engine at local[{hi}]: {r_hi["pages_per_sec"]:.0f} pages/s —
+~{r_hi["pages_per_sec"] / 0.036:.0f}x the reference's single-node throughput.
+
+Measured by `scripts/scaling_bench.py`; per-round headline numbers in
+`BENCH_r{{N}}.json` come from `bench.py`.
+"""
+        )
+    print(json.dumps({"low": r_lo, "high": r_hi, "efficiency": round(eff, 3)}))
+    print(f"wrote {md}")
+
+
+if __name__ == "__main__":
+    main()
