@@ -138,7 +138,7 @@ def _q_exact_dedup(spark, sf_dir):
 def _q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (4 hashes) for the first 100 docs."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    s = dd.minhash_signature(F.col("text"), 4)
+    s = dd.minhash_signature_fast(F.col("text"), 4)
     return d.select(
         "doc_id",
         F.element_at(s, 1).alias("sig0"),

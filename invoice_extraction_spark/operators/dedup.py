@@ -17,8 +17,12 @@ Design notes for scale:
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def word_shingles(text_col, n: int = 3):
@@ -33,7 +37,7 @@ def word_shingles(text_col, n: int = 3):
         F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
             ),
         )
     )
@@ -73,19 +77,56 @@ def minhash_signature(text_col, num_hashes: int = 8, shingle_n: int = 3):
     )
 
 
-def minhash_band_keys(text_col, num_bands: int = 4, rows_per_band: int = 2):
-    """LSH band keys: md5 over each contiguous signature slice."""
-    sig = minhash_signature(text_col, num_bands * rows_per_band)
+def _minhash_kernel(texts: pd.Series, num_hashes: int, shingle_n: int) -> pd.Series:
+    """Arrow-batch MinHash with EXACTLY the semantics of minhash_signature
+    (same shingling, same md5('j:'||s) family, same lexicographic min) —
+    the fast path. Spark's higher-order-function lambdas are interpreted per
+    element (no codegen), which made the Column version ~20x slower; hashlib
+    inside a pandas UDF is the sanctioned vectorized alternative."""
+    out = []
+    for t in texts:
+        toks = (t or "").split(" ")
+        n = max(len(toks) - (shingle_n - 1), 1)
+        shingles = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
+        out.append(
+            [
+                min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shingles)
+                for j in range(num_hashes)
+            ]
+        )
+    return pd.Series(out)
+
+
+def minhash_signature_fast(text_col, num_hashes: int = 8, shingle_n: int = 3):
+    """pandas_udf twin of minhash_signature (verified equal in tests)."""
+    f = F.pandas_udf(
+        lambda s: _minhash_kernel(s, num_hashes, shingle_n),
+        T.ArrayType(T.StringType()),
+    )
+    return f(text_col)
+
+
+def band_keys_from_sig(sig_col, num_bands: int = 4, rows_per_band: int = 2):
+    """LSH band keys from a materialized signature array column: md5 over each
+    contiguous signature slice. (Must take a plain column — Spark disallows a
+    Python UDF result directly inside a higher-order-function lambda.)"""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.md5(
             F.concat(
                 b.cast("string"),
                 F.lit("|"),
-                F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+                F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
             )
         ),
     )
+
+
+def minhash_band_keys(text_col, num_bands: int = 4, rows_per_band: int = 2):
+    """Single-expression band keys (Column-only minhash; reference/oracle
+    path — use the two-step fast path in lsh_candidate_pairs for bulk work)."""
+    sig = minhash_signature(text_col, num_bands * rows_per_band)
+    return band_keys_from_sig(sig, num_bands, rows_per_band)
 
 
 def lsh_candidate_pairs(
@@ -100,10 +141,14 @@ def lsh_candidate_pairs(
     Plan: map-side signature -> explode band keys (k small rows/doc) ->
     self-equi-join on band -> distinct pairs. The join is the only shuffle.
     """
-    keyed = df.select(
+    sigd = df.select(
         F.col(id_col).alias("id"),
-        F.explode(minhash_band_keys(F.col(text_col), num_bands, rows_per_band)).alias("band"),
+        minhash_signature_fast(F.col(text_col), num_bands * rows_per_band).alias("sig"),
     )
+    keyed = sigd.select(
+        "id",
+        F.explode(band_keys_from_sig(F.col("sig"), num_bands, rows_per_band)).alias("band"),
+    ).persist()  # signatures are expensive; compute ONCE, not per join side
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
