@@ -358,6 +358,80 @@ def _q_field_regex_docs(spark, sf_dir):
     )
 
 
+def _q_orders_rollup(spark, sf_dir):
+    """Grouping-sets family (SURVEY.md §2.4 'rollup/cube'): status x priority
+    rollup with subtotals and grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _q_argmax_event_user(spark, sf_dir):
+    """A2 analog (argmax candidate selection, extractors.py:137-139): per
+    event_type, the user holding the max value — max_by with a deterministic
+    composite ordering key (value would tie; event_id breaks it)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.col("value") * 100000.0 + F.col("event_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("max_by(user_id, value * 100000.0 + event_id)").alias("top_user"),
+            F.round(F.max(key), 4).alias("max_key"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_asof_prev_purchase(spark, sf_dir):
+    """As-of semantics (custom-operator family): for each click event, the
+    user's most recent PRIOR purchase value — last(ignorenulls) over an
+    unbounded-preceding window, the shuffle-lean as-of-join plan (union the
+    two streams, one window pass; no range join needed)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_purchase", F.round(prev, 2))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "prev_purchase")
+        .orderBy("event_id")
+    )
+
+
+def _q_lsh_topk_bucket(spark, sf_dir):
+    """ANN scale path: sign-LSH bucket probe (4 seeded hyperplanes) then
+    exact cosine within the bucket — top-5 for the vec_id=0 query."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.lsh_topk(e, qv, k=5, n_planes=4)
+
+
+def _q_value_percentiles(spark, sf_dir):
+    """A11 analog (histogram/percentile stats): exact interpolated
+    percentiles of event value per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pages": _q_extract_pages,
@@ -383,6 +457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_union_distinct": _q_stream_union_distinct,
         "best_order_per_customer": _q_best_order_per_customer,
         "field_regex_docs": _q_field_regex_docs,
+        "orders_rollup": _q_orders_rollup,
+        "argmax_event_user": _q_argmax_event_user,
+        "asof_prev_purchase": _q_asof_prev_purchase,
+        "lsh_topk_bucket": _q_lsh_topk_bucket,
+        "value_percentiles": _q_value_percentiles,
     }
 
 
@@ -397,6 +476,20 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,1)
 """
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+def _lsh_bucket_sql(vec_expr: str) -> str:
+    """Sign-LSH bucket as SQL, with the SAME seeded hyperplanes the Spark
+    operator uses (deterministic literals -> oracle-checkable ANN)."""
+    from invoice_extraction_spark.operators.similarity import _hyperplanes
+
+    parts = []
+    for p in _hyperplanes(64, 4, seed=7):
+        lit = "[" + ",".join(repr(w) for w in p) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -590,5 +683,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN regexp_matches(text, 'invoice') THEN 1 ELSE 0 END) AS BIGINT) AS n_invoice,
                    CAST(SUM(CASE WHEN regexp_matches(text, 'customer') THEN 1 ELSE 0 END) AS BIGINT) AS n_customer
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "argmax_event_user": """
+            SELECT event_type,
+                   arg_max(user_id, value * 100000.0 + event_id) AS top_user,
+                   ROUND(MAX(value * 100000.0 + event_id), 4) AS max_key
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "asof_prev_purchase": """
+            WITH w AS (SELECT event_id, user_id, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+                FROM events)
+            SELECT event_id, user_id, ROUND(prev, 2) AS prev_purchase
+            FROM w WHERE event_type = 'click' ORDER BY event_id
+        """,
+        "lsh_topk_bucket": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                       {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+                       FROM embeddings),
+            qr AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket
+                   FROM b WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+            FROM b, qr WHERE b.bucket = qr.qbucket
+            ORDER BY cos_sim DESC, vec_id LIMIT 5
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -90,6 +90,21 @@ _FIELD_PATTERNS: dict[str, list[tuple[re.Pattern, float, str]]] = {
 
 MAX_CANDIDATES_PER_FIELD = 8
 
+# Cheap lowercase substring screens: a field's patterns CANNOT match unless
+# one of these substrings is present (sound by construction — every regex
+# alternative contains one of them case-insensitively). C-level `in` checks
+# skip ~17 full-text regex scans on pages without invoice anchors — the
+# short-circuit candidate search idea from the reference (extractors.py:137).
+_SCREENS: dict[str, tuple[str, ...]] = {
+    "invoice_id": ("inv",),
+    "invoice_date": ("invoice", "dated"),
+    "order_date": ("order",),
+    "seller": ("sold by", "seller", "dealer", "tractors", "motors", "agro", "enterprises", "traders"),
+    "billing_addr": ("bill",),
+    "shipping_addr": ("ship", "deliver"),
+    "total": ("total", "payable", "₹", "$", "£", "€"),
+}
+
 
 def field_candidates(text: str, name: str) -> list[Span]:
     """All candidate spans for one field, in pattern-priority order.
@@ -121,4 +136,12 @@ def best_span(cands: list[Span]) -> Span | None:
 
 def extract_fields(text: str) -> dict[str, Span | None]:
     """Best span per field over extracted_text (7 fields, possibly None)."""
-    return {name: best_span(field_candidates(text, name)) for name in FIELD_NAMES}
+    tl = text.lower()
+    return {
+        name: (
+            best_span(field_candidates(text, name))
+            if any(s in tl for s in _SCREENS[name])
+            else None
+        )
+        for name in FIELD_NAMES
+    }

@@ -13,8 +13,13 @@ every run lands as one atomic snapshot with per-partition lineage.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import uuid
+
+# runnable as a plain script: put the repo root (package parent) on sys.path,
+# same thing spark-submit's --py-files does for the executors
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):

@@ -84,8 +84,19 @@ def main():
         )
         subprocess.run([sys.executable, "-c", script], check=True, timeout=3600)
 
-    r_lo = run_level(lo, corpus)
-    r_hi = run_level(hi, corpus)
+    # interleave the two levels across alternating processes so neighbor-load
+    # drift on the shared host hits both levels equally; best-of per level
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        # reps=2 per process: rep 0 absorbs codegen/worker-spawn warmup,
+        # the worker reports the min
+        lo_runs.append(run_level(lo, corpus, reps=2))
+        hi_runs.append(run_level(hi, corpus, reps=2))
+    r_lo = min(lo_runs, key=lambda r: r["wall"])
+    r_hi = min(hi_runs, key=lambda r: r["wall"])
+    r_lo["walls"] = sorted(r["wall"] for r in lo_runs)
+    r_hi["walls"] = sorted(r["wall"] for r in hi_runs)
     eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
