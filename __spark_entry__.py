@@ -51,8 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
         "n_content_blocks",
         "n_fields_found",
         "confidence",
+        "consensus_confidence",
         "total_amount",
         "fields",
+        "error",
     )
 
 
@@ -432,6 +434,55 @@ def _q_value_percentiles(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup verify: LSH candidates filtered by exact word-trigram Jaccard
+    >= 0.5 (the J1 similarity-join family at corpus scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_near_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dedup: docs surviving greedy keep-lowest-id removal —
+    summary counts so the result is small and stable."""
+    d = _t(spark, sf_dir, "documents")
+    kept = dd.dedup_near(d, threshold=0.5)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+def _q_json_extract_props(spark, sf_dir):
+    """F12 analog (JSON substring extract + repair, extractor.py:148-165):
+    parse the events.props JSON column; malformed rows -> null, counted
+    instead of failing (the reference's error-column discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_malformed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_token_context_window(spark, sf_dir):
+    """W5 analog (±3-token context window, extractors.py:226-229) lifted to
+    relational form: ±3-row sliding mean per user ordered by time."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
+    return (
+        ev.withColumn("ctx_avg", F.round(F.avg("value").over(w), 4))
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "user_id", "ctx_avg")
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pages": _q_extract_pages,
@@ -462,6 +513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prev_purchase": _q_asof_prev_purchase,
         "lsh_topk_bucket": _q_lsh_topk_bucket,
         "value_percentiles": _q_value_percentiles,
+        "json_extract_props": _q_json_extract_props,
+        "token_context_window": _q_token_context_window,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "near_dedup_survivors": _q_near_dedup_survivors,
     }
 
 
@@ -723,5 +778,58 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 4) AS p50,
                    ROUND(quantile_cont(value, 0.95), 4) AS p95
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ngram_jaccard_pairs": _SHINGLES_CTE
+        + f"""
+            , sig AS (SELECT doc_id, {band_sig} FROM sh),
+            bands AS (
+                SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
+                UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
+                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+            jac AS (SELECT id_a, id_b,
+                    ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+                    FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                              JOIN sh sb ON sb.doc_id = cand.id_b)
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "near_dedup_survivors": _SHINGLES_CTE
+        + f"""
+            , sig AS (SELECT doc_id, {band_sig} FROM sh),
+            bands AS (
+                SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
+                UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
+                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+            jac AS (SELECT id_a, id_b,
+                    len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+                    FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                              JOIN sh sb ON sb.doc_id = cand.id_b),
+            drop AS (SELECT DISTINCT id_b FROM jac WHERE ROUND(jaccard, 4) >= 0.5)
+            SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+            FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drop)
+        """,
+        "json_extract_props": """
+            WITH j AS (SELECT event_type,
+                       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+                   COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_malformed
+            FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "token_context_window": """
+            WITH w AS (SELECT event_id, user_id,
+                ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS ctx_avg
+                FROM events)
+            SELECT event_id, user_id, ctx_avg FROM w
+            WHERE event_id < 200 ORDER BY event_id
         """,
     }

@@ -191,6 +191,26 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate removal: drop every doc that has a verified near-dup
+    with a smaller id (greedy keep-lowest-id — the standard single-pass
+    policy; full connected components is overkill for corpus dedup and
+    needs an iterative job).
+
+    Plan: LSH candidates -> jaccard verify -> distinct id_b -> left_anti.
+    Only the (small) verified-duplicate id set shuffles in the final join.
+    """
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, **lsh_kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_bits(text_col, bits: int = 32):
     """SimHash as a 32-char '0'/'1' string (portable — no integer bit ops).
 

@@ -53,6 +53,7 @@ EXTRACT_RAW_SCHEMA = T.StructType(
         T.StructField("n_content_blocks", T.IntegerType()),
         T.StructField("bytes_in", T.LongType()),
         T.StructField("fields", FIELDS_T),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -79,18 +80,28 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "n_content_blocks": [],
             "bytes_in": [],
             "fields": [],
+            "error": [],
         }
         for html in pdf["html"]:
-            blocks = parse_blocks(html)
-            content = [b.text for b in blocks if b.is_content]
-            if not content:
-                content = [b.text for b in blocks if b.region == "body"]
-            text = "\n".join(content)
-            spans = extract_fields(text)
+            # per-row try/except: a poison document degrades to an error row,
+            # never a task failure (reference's engine-fallback discipline,
+            # ocr.py:255-260; at 10^12 docs a task retry loop is an outage)
+            try:
+                blocks = parse_blocks(html)
+                content = [b.text for b in blocks if b.is_content]
+                if not content:
+                    content = [b.text for b in blocks if b.region == "body"]
+                text = "\n".join(content)
+                spans = extract_fields(text)
+                err = None
+            except Exception as e:  # noqa: BLE001
+                blocks, text, spans = [], "", {n: None for n in FIELD_NAMES}
+                err = f"{type(e).__name__}: {e}"[:500]
             out["extracted_text"].append(text)
             out["n_blocks"].append(len(blocks))
             out["n_content_blocks"].append(sum(1 for b in blocks if b.is_content))
             out["bytes_in"].append(len(html) if html is not None else 0)
+            out["error"].append(err)
             out["fields"].append(
                 {
                     n: (
@@ -130,6 +141,11 @@ def validate_fields(df: DataFrame) -> DataFrame:
     expressed as when/otherwise so it stays inside WholeStageCodegen (zero
     Python). Adds ``total_amount DOUBLE`` (numeric normalize, validators.py:80-83)
     and nulls invalid spans.
+
+    Deliberate non-parity (P8): the reference force-sets ``stamp.present=true``
+    regardless of input (validators.py:113-130) — a documented quirk of its
+    image domain. Our validators only ever NULL spans, never forge them:
+    a webtext field is present iff an anchor matched.
     """
     f = F.col("fields")
 
@@ -185,6 +201,32 @@ def score_confidence(df: DataFrame) -> DataFrame:
     return df.withColumn("n_fields_found", found).withColumn("confidence", conf)
 
 
+def score_consensus(df: DataFrame) -> DataFrame:
+    """Weighted document confidence (A4) — the reference's consensus score
+    ``0.6*fields + 0.2*ocr + 0.1*vision + 0.1*(0.5+boosts)``, clamped [0,1]
+    (consensus.py:130-194, weights :180-185), re-based on our evidence:
+    fields-found ratio, parse success, content-block ratio, and an
+    anchor-agreement boost when both invoice_id and total were anchored.
+    Kept as a SEPARATE column from the A3 field-count ``confidence`` (same
+    separation as the reference's confidence.py vs consensus.py)."""
+    f = F.col("fields")
+    field_score = F.col("n_fields_found").cast("double") / F.lit(float(len(FIELD_NAMES)))
+    parse_score = F.least(F.col("n_blocks").cast("double") / 10.0, F.lit(1.0))
+    content_score = F.col("n_content_blocks").cast("double") / F.greatest(
+        F.col("n_blocks").cast("double"), F.lit(1.0)
+    )
+    boost = (
+        F.when(
+            f["invoice_id"].isNotNull() & f["total"].isNotNull(), 0.5
+        ).otherwise(0.0)
+    )
+    raw = 0.6 * field_score + 0.2 * parse_score + 0.1 * content_score + 0.1 * (0.5 + boost)
+    return df.withColumn(
+        "consensus_confidence",
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 2),
+    )
+
+
 def extract_pages(
     df: DataFrame,
     num_partitions: int | None = None,
@@ -205,4 +247,4 @@ def extract_pages(
     if num_partitions:
         pruned = salted_repartition(pruned, num_partitions, salt_seed)
     raw = pruned.mapInPandas(_extract_batches, schema=EXTRACT_RAW_SCHEMA)
-    return score_confidence(validate_fields(raw))
+    return score_consensus(score_confidence(validate_fields(raw)))

@@ -128,9 +128,27 @@ def commit_append(
     return manifest
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read exactly the committed snapshot (uncommitted data files ignored)."""
-    files = committed_files(table_dir)
+def read_table(
+    spark: SparkSession, table_dir: str, as_of: int | str | None = None
+) -> DataFrame:
+    """Read the committed snapshot (uncommitted data files ignored).
+
+    ``as_of`` gives Iceberg-style time travel: an int reads the table as of
+    the Nth snapshot (0-based commit order), a string reads up to and
+    including that run_id's commit.
+    """
+    manifests = list_manifests(table_dir)
+    if as_of is not None:
+        if isinstance(as_of, int):
+            manifests = manifests[: as_of + 1]
+        else:
+            cut = next(
+                (i for i, m in enumerate(manifests) if m["run_id"] == as_of), None
+            )
+            if cut is None:
+                raise FileNotFoundError(f"no snapshot with run_id={as_of!r}")
+            manifests = manifests[: cut + 1]
+    files = [f for m in manifests for f in m["files"]]
     if not files:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
     return spark.read.parquet(*files).drop("_pid", "_ok")
