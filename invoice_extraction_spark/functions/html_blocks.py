@@ -249,7 +249,7 @@ def _feed_fast(p: _BlockParser, html: str) -> None:
             data = html[pos : m.start()]
             p.handle_data(_unescape(data) if "&" in data else data)
         pos = m.end()
-        end_tag, start_tag, attr_str, self_close = m.group(1), m.group(2), m.group(3), m.group(4)
+        end_tag, start_tag, attr_str, self_close = m.group(1, 2, 3, 4)
         if end_tag is not None:
             p.handle_endtag(end_tag.lower())
         elif start_tag is not None:

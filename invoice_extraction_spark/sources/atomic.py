@@ -56,11 +56,18 @@ def list_manifests(table_dir: str) -> list[dict]:
     return out
 
 
-def committed_files(table_dir: str) -> list[str]:
+def _files_from(manifests: list[dict]) -> list[str]:
     files: list[str] = []
-    for m in list_manifests(table_dir):
-        files.extend(m["files"])
+    for m in manifests:
+        if m.get("base"):  # compaction snapshot supersedes all earlier files
+            files = list(m["files"])
+        else:
+            files.extend(m["files"])
     return files
+
+
+def committed_files(table_dir: str) -> list[str]:
+    return _files_from(list_manifests(table_dir))
 
 
 def commit_append(
@@ -148,10 +155,56 @@ def read_table(
             if cut is None:
                 raise FileNotFoundError(f"no snapshot with run_id={as_of!r}")
             manifests = manifests[: cut + 1]
-    files = [f for m in manifests for f in m["files"]]
+    files = _files_from(manifests)
     if not files:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
     return spark.read.parquet(*files).drop("_pid", "_ok")
+
+
+def compact(spark: SparkSession, table_dir: str, target_files: int = 8) -> dict:
+    """Rewrite the current snapshot into ``target_files`` files and publish a
+    BASE manifest that supersedes all earlier ones — the Iceberg
+    ``rewrite_data_files`` maintenance action. At 10^12 docs, thousands of
+    small per-run snapshots otherwise degrade scan planning and open-file
+    cost. Old data files stay on disk (readers ignore them; a GC pass can
+    unlink anything not referenced by the latest base chain).
+
+    Single-writer assumption: don't compact concurrently with appends.
+    """
+    run_id = f"compact-{uuid.uuid4().hex[:8]}"
+    df = read_table(spark, table_dir)
+    data_dir = os.path.join(table_dir, "data", run_id)
+    df.coalesce(target_files).write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(data_dir).count()
+    manifest = {
+        "run_id": run_id,
+        "base": True,
+        "files": files,
+        "committed_at": time.time(),
+        "lineage": [
+            {
+                "run_id": run_id,
+                "partition_id": -1,
+                "n_rows": n_rows,
+                "n_ok": n_rows,
+                "n_failed": 0,
+                "bytes_in": 0,
+            }
+        ],
+    }
+    mdir = _manifest_dir(table_dir)
+    tmp = os.path.join(mdir, f".tmp-{run_id}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(mdir, f"{int(time.time() * 1000)}-{run_id}.json"))
+    return manifest
 
 
 def lineage_df(spark: SparkSession, table_dir: str) -> DataFrame:

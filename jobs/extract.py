@@ -29,6 +29,14 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=None, help="salted repartition width")
     ap.add_argument("--salt-seed", type=int, default=42)
     ap.add_argument("--resume", action="store_true", help="skip already-committed urls")
+    ap.add_argument(
+        "--dedup",
+        action="store_true",
+        help="drop exact-duplicate pages (same html fingerprint) before extraction",
+    )
+    ap.add_argument(
+        "--compact", action="store_true", help="compact the table after committing"
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -40,11 +48,23 @@ def main(argv=None):
     src = spark.read.parquet(args.source)
     if args.resume:
         src = pending_source(src, args.table)
+    if args.dedup:
+        # exact dedup on the raw payload before any extraction work:
+        # hash-groupBy on md5(html), keep min url — duplicates never reach
+        # the (expensive) Arrow stage
+        from invoice_extraction_spark.operators.dedup import dedup_exact
+
+        src = dedup_exact(src, text_col="html", id_col="url")
     out = extract_pages(src, num_partitions=args.partitions, salt_seed=args.salt_seed)
     manifest = commit_append(out, args.table, run_id=uuid.uuid4().hex[:12])
     n = sum(ln["n_rows"] for ln in manifest["lineage"])
     ok = sum(ln["n_ok"] for ln in manifest["lineage"])
     print(f"committed run_id={manifest['run_id']} rows={n} ok={ok}")
+    if args.compact:
+        from invoice_extraction_spark.sources.atomic import compact
+
+        m = compact(spark, args.table)
+        print(f"compacted -> run_id={m['run_id']} files={len(m['files'])}")
     spark.stop()
     return 0
 
