@@ -452,6 +452,31 @@ def _q_near_dedup_survivors(spark, sf_dir):
     )
 
 
+def _q_fuzzy_seller_validation(spark, sf_dir):
+    """J2 fuzzy master-data match (validators.py:134-163, dead code in the
+    reference — working here): extracted seller spans fuzzy-joined against
+    the canonical seller dim via JVM levenshtein, accept >= 0.9. Rows-only
+    check (depends on the HTML extraction kernel)."""
+    import pandas as pd
+
+    from invoice_extraction_spark.operators.fuzzy import validate_sellers
+
+    out = extract_pages(spark.createDataFrame(pages_pdf(200)), num_partitions=16)
+    masters = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "seller_name": [
+                    f"{a} {b}"
+                    for a in ["SABAR", "KISAN", "BHARAT", "SHREE", "JAI", "NEW", "ROYAL", "GANGA", "SURYA", "VIJAY"]
+                    for b in ["AGROTECH", "TRACTORS", "MOTORS", "ENTERPRISES", "TRADERS", "AGRO"]
+                ]
+            }
+        )
+    )
+    v = validate_sellers(out, masters)
+    return v.select("url", "seller_canonical", "match_score").orderBy("url")
+
+
 def _q_json_extract_props(spark, sf_dir):
     """F12 analog (JSON substring extract + repair, extractor.py:148-165):
     parse the events.props JSON column; malformed rows -> null, counted
@@ -517,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_context_window": _q_token_context_window,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dedup_survivors": _q_near_dedup_survivors,
+        "fuzzy_seller_validation": _q_fuzzy_seller_validation,
     }
 
 

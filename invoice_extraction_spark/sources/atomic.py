@@ -207,6 +207,39 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 8) -> dict:
     return manifest
 
 
+def vacuum(table_dir: str) -> list[str]:
+    """Delete data files no longer referenced by the committed manifest chain
+    (post-compaction garbage collection — Iceberg's expire_snapshots +
+    remove_orphan_files). Returns the deleted paths.
+
+    Safe because readers resolve files ONLY through manifests: anything
+    unreferenced is invisible already. Time travel to superseded snapshots
+    stops working after vacuum (same trade as Iceberg snapshot expiry).
+    """
+    live = set(committed_files(table_dir))
+    deleted = []
+    data_root = os.path.join(table_dir, "data")
+    if not os.path.isdir(data_root):
+        return deleted
+    for sub in os.listdir(data_root):
+        d = os.path.join(data_root, sub)
+        entries = os.listdir(d)
+        has_live = any(os.path.join(d, f) in live for f in entries)
+        for f in entries:
+            p = os.path.join(d, f)
+            if p in live:
+                continue
+            if p.endswith(".parquet") or not has_live:
+                # sidecars (_SUCCESS, .crc) go with their directory once no
+                # live parquet remains in it
+                os.unlink(p)
+                if p.endswith(".parquet"):
+                    deleted.append(p)
+        if not os.listdir(d):
+            os.rmdir(d)
+    return deleted
+
+
 def lineage_df(spark: SparkSession, table_dir: str) -> DataFrame:
     rows = [ln for m in list_manifests(table_dir) for ln in m["lineage"]]
     if not rows:

@@ -1,0 +1,75 @@
+"""Fuzzy master-data matching (J2, validators.py:134-163 intended semantics)
+and vacuum garbage collection."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.corpus import pages_pdf
+from invoice_extraction_spark.operators.extract import extract_pages
+from invoice_extraction_spark.operators.fuzzy import fuzzy_join, validate_sellers
+from invoice_extraction_spark.sources.atomic import (
+    commit_append,
+    compact,
+    read_table,
+    vacuum,
+)
+
+
+def test_fuzzy_join_typos_and_rejects(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"name": ["SABAR AGROTECB", "sabar  agrotech", "KISAN TRACTORS", "ZZZZZZ"]})
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"canon": ["SABAR AGROTECH", "KISAN TRACTORS", "ROYAL MOTORS"]})
+    )
+    out = {r["name"]: r for r in fuzzy_join(left, dim, "name", "canon").collect()}
+    assert out["SABAR AGROTECB"]["canon"] == "SABAR AGROTECH"  # 1 edit, score ~0.93
+    assert out["sabar  agrotech"]["canon"] == "SABAR AGROTECH"  # normalization
+    assert out["sabar  agrotech"]["match_score"] == 1.0
+    assert out["KISAN TRACTORS"]["canon"] == "KISAN TRACTORS"
+    assert out["ZZZZZZ"]["canon"] is None  # below threshold, kept unmatched
+
+
+def test_fuzzy_join_no_python_stage(spark):
+    from invoice_extraction_spark.plans.explain import has_broadcast_join, has_row_python_udf
+
+    left = spark.createDataFrame(pd.DataFrame({"name": ["A B"]}))
+    dim = spark.createDataFrame(pd.DataFrame({"canon": ["A B"]}))
+    q = fuzzy_join(left, dim, "name", "canon")
+    assert has_broadcast_join(q)
+    assert not has_row_python_udf(q)
+
+
+def test_validate_sellers_on_extraction_output(spark):
+    out = extract_pages(spark.createDataFrame(pages_pdf(60)))
+    masters = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "seller_name": [
+                    f"{a} {b}"
+                    for a in ["SABAR", "KISAN", "BHARAT", "SHREE", "JAI", "NEW", "ROYAL", "GANGA", "SURYA", "VIJAY"]
+                    for b in ["AGROTECH", "TRACTORS", "MOTORS", "ENTERPRISES", "TRADERS", "AGRO"]
+                ]
+            }
+        )
+    )
+    v = validate_sellers(out, masters)
+    rows = v.filter(F.col("seller_canonical").isNotNull()).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["match_score"] >= 0.9
+        assert r["fields"]["seller"]["value"].upper() == r["seller_canonical"]
+
+
+def test_vacuum_removes_superseded_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    src = spark.createDataFrame(pages_pdf(20))
+    commit_append(extract_pages(src.limit(10)), tbl, run_id="a")
+    commit_append(extract_pages(src), tbl, run_id="b")
+    compact(spark, tbl, target_files=1)
+    deleted = vacuum(tbl)
+    assert len(deleted) > 0
+    # table contents unaffected
+    assert read_table(spark, tbl).count() == 30
+    # second vacuum is a no-op
+    assert vacuum(tbl) == []
