@@ -64,6 +64,12 @@ LINK_DENSITY_MAX = 0.35
 MIN_CONTENT_TOKENS = 3
 MIN_KV_CHARS = 8  # short "Total: ₹830000" key-value lines still count
 
+# Data-cell tags: a td/dd holding "INV-555666" is a VALUE cell of a tabular
+# key-value layout (the reference's invoices are exactly this shape) — keep
+# it even though it fails the token/colon gates that prose blocks need.
+DATA_CELL_TAGS = frozenset({"td", "th", "dt", "dd"})
+MIN_CELL_CHARS = 2
+
 
 @dataclass
 class Block:
@@ -104,6 +110,7 @@ class Block:
             and (
                 self.n_tokens >= MIN_CONTENT_TOKENS
                 or (":" in self.text and self.n_chars >= MIN_KV_CHARS)
+                or (self.tag in DATA_CELL_TAGS and self.n_chars >= MIN_CELL_CHARS)
             )
         )
         return True
