@@ -73,7 +73,12 @@ def _nav(rng: random.Random) -> str:
 
 
 def _kv_rows(rng: random.Random, doc_seq: int) -> tuple[list[str], dict]:
-    """Invoice-like key-value lines + the ground-truth dict (for fixtures)."""
+    """Invoice-like key-value pairs + the ground-truth dict (for fixtures).
+
+    Returns (anchor, value) pairs; the caller renders them in one of three
+    layout families (paragraph / table / definition list) — real invoices are
+    mostly tabular, and byte-identity must hold across layouts.
+    """
     truth: dict = {}
     rows: list[str] = []
     present = rng.sample(
@@ -82,30 +87,30 @@ def _kv_rows(rng: random.Random, doc_seq: int) -> tuple[list[str], dict]:
     )
     if "invoice_id" in present:
         v = f"INV-{rng.randrange(100000, 999999)}"
-        rows.append(f"<p><b>{rng.choice(_INV_ANCHORS)}</b> {v}</p>")
+        rows.append((rng.choice(_INV_ANCHORS), v))
         truth["invoice_id"] = v
     if "invoice_date" in present:
         v = _date_str(rng)
-        rows.append(f"<p><b>Invoice Date:</b> {v}</p>")
+        rows.append(("Invoice Date:", v))
         truth["invoice_date"] = v
     if "order_date" in present:
         v = _date_str(rng)
-        rows.append(f"<p><b>Order Date:</b> {v}</p>")
+        rows.append(("Order Date:", v))
         truth["order_date"] = v
     if "seller" in present:
         if rng.random() < 0.15:  # manufacturer decoy → validator should null it
             v = rng.choice(MANUFACTURERS)
         else:
             v = f"{rng.choice(_SELLER_FIRST)} {rng.choice(_SELLER_KIND)}"
-        rows.append(f"<p><b>{rng.choice(['Sold By:', 'Seller:', 'Dealer:'])}</b> {v}</p>")
+        rows.append((rng.choice(['Sold By:', 'Seller:', 'Dealer:']), v))
         truth["seller"] = v
     if "billing_addr" in present:
         v = f"{rng.randrange(1, 99)} {rng.choice(_WORDS).title()} Road, {rng.choice(_CITIES)} {rng.randrange(110000, 899999)}"
-        rows.append(f"<p><b>Billing Address:</b> {v}</p>")
+        rows.append(("Billing Address:", v))
         truth["billing_addr"] = v
     if "shipping_addr" in present:
         v = f"{rng.randrange(1, 99)} {rng.choice(_WORDS).title()} Lane, {rng.choice(_CITIES)} {rng.randrange(110000, 899999)}"
-        rows.append(f"<p><b>Ship To:</b> {v}</p>")
+        rows.append(("Ship To:", v))
         truth["shipping_addr"] = v
     if "total" in present:
         style = rng.randrange(3)
@@ -123,7 +128,7 @@ def _kv_rows(rng: random.Random, doc_seq: int) -> tuple[list[str], dict]:
             truth["total"] = None
         else:
             truth["total"] = v
-        rows.append(f"<p><b>{rng.choice(_TOTAL_ANCHORS)}</b> {v}</p>")
+        rows.append((rng.choice(_TOTAL_ANCHORS), v))
     return rows, truth
 
 
@@ -142,6 +147,27 @@ def synth_page(doc_seq: int, seed: int = 42) -> dict:
         for _ in range(rng.randrange(2, 7))
     ]
     kv_rows, truth = _kv_rows(rng, doc_seq)
+    # three layout families — real invoices are mostly tabular; the
+    # byte-identity contract must hold for all of them
+    layout = rng.choice(["para", "table", "dl"])
+    if layout == "table":
+        kv_html = (
+            '<table class="invoice">'
+            + "".join(f"<tr><td>{a}</td><td>{v}</td></tr>" for a, v in kv_rows)
+            + "</table>"
+        )
+    elif layout == "dl":
+        kv_html = (
+            '<dl class="invoice">'
+            + "".join(f"<dt>{a}</dt><dd>{v}</dd>" for a, v in kv_rows)
+            + "</dl>"
+        )
+    else:
+        kv_html = (
+            '<div class="invoice">'
+            + "".join(f"<p><b>{a}</b> {v}</p>" for a, v in kv_rows)
+            + "</div>"
+        )
     sidebar = "".join(f'<a href="/p/{i}">{rng.choice(_WORDS)}</a> ' for i in range(8))
     footer_links = "".join(f'<a href="/{w}">{w}</a> ' for w in rng.sample(_WORDS, 5))
 
@@ -154,9 +180,8 @@ def synth_page(doc_seq: int, seed: int = 42) -> dict:
         '<div class="sidebar">' + sidebar + "</div>"
         f"<main><article><h2>{title}</h2>"
         + "".join(paras)
-        + '<div class="invoice">'
-        + "".join(kv_rows)
-        + "</div></article></main>"
+        + kv_html
+        + "</article></main>"
         f"<footer><p>{footer_links}</p><p>© 2021 {host}</p></footer>"
         "</body></html>"
     )

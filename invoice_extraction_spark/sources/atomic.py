@@ -103,6 +103,11 @@ def commit_append(
         )
         .collect()
     )
+    if not lineage_rows:  # a resume with nothing pending publishes NO snapshot
+        import shutil as _shutil
+
+        _shutil.rmtree(data_dir, ignore_errors=True)
+        return {"run_id": run_id, "files": [], "committed_at": time.time(), "lineage": [], "empty": True}
     files = [
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
