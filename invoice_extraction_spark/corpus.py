@@ -231,7 +231,6 @@ def synth_pages_spark(spark, n_docs: int, seed: int = 42, partitions: int | None
     side generation would serialize on one core; this is a mapInPandas over
     ``spark.range``, so synthesis parallelism == extraction parallelism."""
     import pandas as pd
-    from pyspark.sql import functions as F  # noqa: N812
     from pyspark.sql import types as T  # noqa: N812
 
     schema = T.StructType(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.fields import FIELD_NAMES, extract_fields
-from ..functions.html_blocks import extract_text, parse_blocks
+from ..functions.html_blocks import parse_blocks
 
 if TYPE_CHECKING:
     pass

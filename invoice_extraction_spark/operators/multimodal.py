@@ -21,7 +21,6 @@ column at the parquet scan (ReadSchema check in tests).
 from __future__ import annotations
 
 import hashlib
-import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd

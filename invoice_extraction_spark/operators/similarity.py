@@ -15,7 +15,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame

@@ -20,7 +20,6 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def normalize(df, float_dp: int = 4):
     """Columns sorted by name, rows sorted, floats rounded -> hash string."""
-    import pandas as pd
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:

@@ -7,7 +7,6 @@ uninterrupted run.
 
 import os
 
-from pyspark.sql import functions as F
 
 from invoice_extraction_spark.corpus import pages_pdf
 from invoice_extraction_spark.operators.extract import extract_pages
