@@ -420,6 +420,15 @@ def _q_lsh_topk_bucket(spark, sf_dir):
     return sim.lsh_topk(e, qv, k=5, n_planes=4)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: k-means coarse quantizer (seeded), probe the 2
+    nearest cells, exact cosine within them. Rows-only check (KMeans is not
+    SQL-expressible)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk(e, qv, k=10, n_cells=16, n_probe=2)
+
+
 def _q_value_percentiles(spark, sf_dir):
     """A11 analog (histogram/percentile stats): exact interpolated
     percentiles of event value per type."""
@@ -537,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_event_user": _q_argmax_event_user,
         "asof_prev_purchase": _q_asof_prev_purchase,
         "lsh_topk_bucket": _q_lsh_topk_bucket,
+        "ivf_topk": _q_ivf_topk,
         "value_percentiles": _q_value_percentiles,
         "json_extract_props": _q_json_extract_props,
         "token_context_window": _q_token_context_window,

@@ -105,6 +105,45 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """IVF (inverted-file) ANN: k-means coarse quantizer, probe the n_probe
+    cells nearest the query, exact cosine within them.
+
+    The second scale path next to sign-LSH: at 10^12 vectors the quantizer is
+    trained on a sample, cell assignment is a map-side model.transform, and a
+    probe touches n_probe/n_cells of the corpus. Deterministic given the
+    seed + input (train on the same table). Not SQL-expressible -> rows-only
+    oracle check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(feat)
+    centers = model.clusterCenters()
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else 0.0
+
+    probe_cells = sorted(
+        range(len(centers)), key=lambda i: -_cos(list(centers[i]), query_vec)
+    )[:n_probe]
+    assigned = model.transform(feat)
+    candidates = assigned.filter(F.col("_cell").isin(probe_cells)).drop("_fv", "_cell")
+    return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,
