@@ -461,27 +461,55 @@ def _q_near_dedup_survivors(spark, sf_dir):
     )
 
 
+N_FUZZY_DOCS = 200
+
+
+def _fuzzy_master_names() -> list[str]:
+    """Canonical seller dim for the fuzzy query — deliberately NOT identical
+    to the planted names so the match math is non-trivial: AGROTECH entries
+    are word-REORDERED (exercises the token-sort channel) and TRADERS entries
+    carry a one-edit typo (exercises the levenshtein-distance channel)."""
+    out = []
+    for a in ["SABAR", "KISAN", "BHARAT", "SHREE", "JAI", "NEW", "ROYAL", "GANGA", "SURYA", "VIJAY"]:
+        for b in ["AGROTECH", "TRACTORS", "MOTORS", "ENTERPRISES", "TRADERS", "AGRO"]:
+            if b == "AGROTECH":
+                out.append(f"{b} {a}")
+            elif b == "TRADERS":
+                out.append(f"{a} TRADER")
+            else:
+                out.append(f"{a} {b}")
+    return out
+
+
+def _planted_sellers(n_docs: int) -> list[tuple[str, str]]:
+    """(url, seller) truth pairs the validated pipeline must surface: planted
+    sellers minus the manufacturer decoys the validator nulls (none of the
+    planted decoys carries a dealer word). Pure function of the corpus seed —
+    this is what makes the fuzzy query DuckDB-oracle-checkable."""
+    from invoice_extraction_spark.corpus import MANUFACTURERS, synth_pages
+
+    return [
+        (p["url"], p["truth"]["seller"])
+        for p in synth_pages(n_docs)
+        if p["truth"].get("seller") and p["truth"]["seller"] not in MANUFACTURERS
+    ]
+
+
 def _q_fuzzy_seller_validation(spark, sf_dir):
     """J2 fuzzy master-data match (validators.py:134-163, dead code in the
     reference — working here): extracted seller spans fuzzy-joined against
-    the canonical seller dim via JVM levenshtein, accept >= 0.9. Rows-only
-    check (depends on the HTML extraction kernel)."""
+    the canonical seller dim via JVM levenshtein + token-sort, accept >= 0.9.
+
+    Oracle-checkable (round 2): the corpus truth sellers are embedded as
+    VALUES literals in the DuckDB twin, which runs the identical score
+    formula — so the hash check covers BOTH the extraction kernel's seller
+    recall AND the fuzzy-join arithmetic."""
     import pandas as pd
 
     from invoice_extraction_spark.operators.fuzzy import validate_sellers
 
-    out = extract_pages(spark.createDataFrame(pages_pdf(200)), num_partitions=16)
-    masters = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "seller_name": [
-                    f"{a} {b}"
-                    for a in ["SABAR", "KISAN", "BHARAT", "SHREE", "JAI", "NEW", "ROYAL", "GANGA", "SURYA", "VIJAY"]
-                    for b in ["AGROTECH", "TRACTORS", "MOTORS", "ENTERPRISES", "TRADERS", "AGRO"]
-                ]
-            }
-        )
-    )
+    out = extract_pages(spark.createDataFrame(pages_pdf(N_FUZZY_DOCS)), num_partitions=16)
+    masters = spark.createDataFrame(pd.DataFrame({"seller_name": _fuzzy_master_names()}))
     v = validate_sellers(out, masters)
     return v.select("url", "seller_canonical", "match_score").orderBy("url")
 
@@ -567,6 +595,38 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,1)
 """
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+def _fuzzy_seller_sql() -> str:
+    """DuckDB twin of q:fuzzy_seller_validation. The corpus truth sellers
+    (pure function of the seed) and the master dim are embedded as VALUES;
+    the score formula — max(plain, token-sort) normalized levenshtein,
+    rounded 4 — mirrors operators/fuzzy.py:match_score exactly. DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    truth_vals = ", ".join(
+        f"('{u}', '{s}')" for u, s in _planted_sellers(N_FUZZY_DOCS)
+    )
+    master_vals = ", ".join(f"('{m}')" for m in _fuzzy_master_names())
+    return f"""
+        WITH truth(url, seller) AS (VALUES {truth_vals}),
+        masters(name) AS (VALUES {master_vals}),
+        ln AS (SELECT url, upper(regexp_replace(trim(seller), '\\s+', ' ', 'g')) AS a FROM truth),
+        lt AS (SELECT url, a, array_to_string(list_sort(string_split(a, ' ')), ' ') AS ta FROM ln),
+        rn AS (SELECT name, upper(regexp_replace(trim(name), '\\s+', ' ', 'g')) AS b FROM masters),
+        rt AS (SELECT name, b, array_to_string(list_sort(string_split(b, ' ')), ' ') AS tb FROM rn),
+        s AS (SELECT url, name,
+              round(greatest(
+                1.0 - levenshtein(a, b) * 1.0 / greatest(length(a), length(b), 1),
+                1.0 - levenshtein(ta, tb) * 1.0 / greatest(length(ta), length(tb), 1)), 4) AS score
+              FROM lt, rt),
+        best AS (SELECT url, name, score,
+                 row_number() OVER (PARTITION BY url ORDER BY score DESC, name) AS rk
+                 FROM s)
+        SELECT url,
+               CASE WHEN score >= 0.9 THEN name END AS seller_canonical,
+               CASE WHEN score >= 0.9 THEN score END AS match_score
+        FROM best WHERE rk = 1 ORDER BY url
+    """
 
 
 def _lsh_bucket_sql(vec_expr: str) -> str:
@@ -860,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_malformed
             FROM j GROUP BY event_type ORDER BY event_type
         """,
+        "fuzzy_seller_validation": _fuzzy_seller_sql(),
         "token_context_window": """
             WITH w AS (SELECT event_id, user_id,
                 ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
