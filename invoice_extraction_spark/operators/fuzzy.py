@@ -153,11 +153,19 @@ def fuzzy_join(
     return out
 
 
-def validate_sellers(extracted: DataFrame, master_sellers: DataFrame) -> DataFrame:
+def validate_sellers(
+    extracted: DataFrame, master_sellers: DataFrame, rescore: bool = False
+) -> DataFrame:
     """The reference's intended dealer validation, working: fuzzy-match the
     extracted seller span against the canonical seller list; emit
-    ``seller_canonical`` + ``seller_match_score`` (>=0.9 accepted,
-    validators.py:158)."""
+    ``seller_canonical`` + ``match_score`` (>=0.9 accepted,
+    validators.py:158).
+
+    ``rescore=True`` re-runs the consensus blend with the fuzzy
+    ``match_score`` as the seller evidence channel — the reference's
+    "dealer match score / 100" feed into document confidence
+    (consensus.py:151-156) — so a canonical-dim hit raises
+    ``consensus_confidence`` above the rule-only score."""
     with_seller = extracted.withColumn("_seller", F.col("fields.seller.value"))
     out = fuzzy_join(
         with_seller.filter(F.col("_seller").isNotNull()),
@@ -166,4 +174,9 @@ def validate_sellers(extracted: DataFrame, master_sellers: DataFrame) -> DataFra
         "seller_name",
         min_score=0.9,
     )
-    return out.withColumnRenamed("seller_name", "seller_canonical").drop("_seller")
+    out = out.withColumnRenamed("seller_name", "seller_canonical").drop("_seller")
+    if rescore:
+        from .extract import score_consensus
+
+        out = score_consensus(out, seller_match_score=F.col("match_score"))
+    return out

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..operators.extract import extract_pages
-from ..sources.atomic import commit_append
+from ..sources.atomic import commit_append, list_manifests
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -46,8 +46,17 @@ def run_incremental(
     """
 
     def _sink(batch_df, batch_id: int) -> None:
+        run_id = f"stream-{batch_id}"
+        # Idempotent under foreachBatch replay: if the driver died AFTER the
+        # manifest rename published but BEFORE the streaming checkpoint
+        # recorded the batch, restart re-delivers the same batch_id — the
+        # commit must be a no-op or every row duplicates (data dirs are
+        # deliberately unique per commit). run_id == batch_id is the
+        # standard foreachBatch exactly-once recipe.
+        if any(m["run_id"] == run_id for m in list_manifests(table_dir)):
+            return
         out = extract_pages(batch_df, num_partitions=num_partitions)
-        commit_append(out, table_dir, run_id=f"stream-{batch_id}")
+        commit_append(out, table_dir, run_id=run_id)
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)

@@ -4,6 +4,14 @@ confidence to tests/golden/goldens.json. pytest then asserts BYTE equality.
 
 Run once (and re-run ONLY on an intentional semantic change):
     python scripts/freeze_goldens.py
+
+Re-freeze log:
+- 2026-08-16 (round 1): initial freeze; re-frozen for the three-layout corpus.
+- 2026-08-16 (round 2): ADDED keys consensus_confidence / field_scores /
+  error — consensus now blends per-field VALIDATION scores (VERDICT r1
+  'What's missing' #2), and the error-analysis DuckDB oracles re-derive the
+  taxonomy from these frozen values. extracted_text / fields / confidence /
+  total_amount are byte-identical to round 1 (kernel unchanged).
 """
 
 import json
@@ -39,6 +47,9 @@ def main():
             "extracted_text": r["extracted_text"],
             "fields": fields,
             "confidence": r["confidence"],
+            "consensus_confidence": r["consensus_confidence"],
+            "field_scores": r["field_scores"].asDict(),
+            "error": r["error"],
             "total_amount": r["total_amount"],
             "n_blocks": r["n_blocks"],
             "n_content_blocks": r["n_content_blocks"],

@@ -94,6 +94,35 @@ def test_resume_no_double_extraction_and_equal_output(spark, tmp_path):
     assert runs == {"half", "rest"}
 
 
+def test_commit_is_single_pass(spark, tmp_path, monkeypatch):
+    """VERDICT r1 #3: lineage counters must come from the write job itself
+    (accumulator epilogue), not a second scan of the written output — at
+    100 TB the round-1 re-read doubled the table I/O. Assert commit_append
+    never issues a read: any spark.read.parquet during the commit fails the
+    test. (Job COUNT is not assertable — AQE materializes the repartition
+    stage as its own job even though the data flows once.)"""
+    import pyspark.sql.readwriter as rw
+
+    tbl = str(tmp_path / "out")
+    src = spark.createDataFrame(pages_pdf(N))
+    out = extract_pages(src, num_partitions=4)
+
+    reads = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        reads.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    commit_append(out, tbl, run_id="r1")
+    assert reads == [], f"commit_append re-read written data: {reads}"
+    # and the lineage is still complete, still genuinely per-partition
+    rows = lineage_df(spark, tbl).collect()
+    assert sum(r["n_rows"] for r in rows) == N
+    assert len(rows) > 1
+
+
 def test_resume_plan_uses_anti_join(spark, tmp_path):
     tbl = str(tmp_path / "out")
     src = spark.createDataFrame(pages_pdf(N))

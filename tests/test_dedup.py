@@ -6,10 +6,14 @@ from pyspark.sql import functions as F
 
 from invoice_extraction_spark.operators.dedup import (
     dedup_exact,
+    dedup_near,
+    lsh_band_stats,
     lsh_candidate_pairs,
     minhash_signature,
     minhash_signature_fast,
     ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_fast,
 )
 
 
@@ -54,3 +58,54 @@ def test_dedup_exact_keeps_min_id(spark):
     d = _docs(spark)
     kept = sorted(r["doc_id"] for r in dedup_exact(d).collect())
     assert kept == [0, 2, 3, 4]  # doc 1 (dup of 0) dropped
+
+
+def test_simhash_fast_equals_column(spark):
+    """The Arrow kernel must reproduce the Column/oracle form bit-for-bit —
+    including repeated tokens (weighted evidence) and empty strings."""
+    rows = [
+        (0, "the quick brown fox the quick the"),
+        (1, "unique words only here"),
+        (2, ""),
+        (3, "x"),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    a = {r["doc_id"]: r["s"] for r in d.select("doc_id", simhash_bits(F.col("text")).alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in d.select("doc_id", simhash_fast(F.col("text")).alias("s")).collect()}
+    assert a == b
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in a.values())
+
+
+def _pathological(spark, n_identical=1000):
+    """Web-data worst case: one boilerplate text repeated n times, plus a
+    genuine near-dup pair and an unrelated doc."""
+    boiler = "terms of service privacy policy all rights reserved contact us about"
+    rows = [(i, boiler) for i in range(n_identical)]
+    rows += [
+        (n_identical, "the quick brown fox jumps over the lazy dog near the river today"),
+        (n_identical + 1, "the quick brown fox jumps over the lazy dog near the river tonight"),
+        (n_identical + 2, "completely unrelated text about monsoon tractor harvest finance"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_hot_band_cap_keeps_pair_output_linear(spark):
+    """VERDICT r1 #4: a degenerate band (1k identical docs) must not emit
+    O(n^2) candidate pairs. The cap drops the hot band; the genuine near-dup
+    pair in a cold band survives; dropped bands are reported, not silent."""
+    d = _pathological(spark)
+    pairs = lsh_candidate_pairs(d, max_band_size=64).collect()
+    # uncapped would be ~499,500 pairs from the boilerplate cluster alone
+    assert len(pairs) <= 10
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1000, 1001)}
+    stats = lsh_band_stats(d, max_band_size=64).collect()[0]
+    assert stats["n_dropped_hot_bands"] >= 1
+    assert stats["max_band_size"] == 1000
+
+
+def test_dedup_near_handles_pathological_corpus(spark):
+    """End-to-end: exact dedup absorbs the identical cluster BEFORE LSH (what
+    makes the cap safe), and the near-dup is still removed."""
+    d = _pathological(spark, n_identical=200)
+    kept = sorted(r["doc_id"] for r in dedup_near(d, threshold=0.5).collect())
+    assert kept == [0, 200, 202]  # one boilerplate survivor; 201 near-dup dropped

@@ -101,6 +101,30 @@ def test_validate_sellers_on_extraction_output(spark):
         assert r["fields"]["seller"]["value"].upper() == r["seller_canonical"]
 
 
+def test_validation_scores_feed_consensus(spark):
+    """VERDICT r1 'What's missing' #2: the fuzzy match_score must flow into
+    the consensus blend (reference consensus.py:151-156 'dealer match score
+    / 100'). A perfect canonical hit keeps the seller channel at 1.0; a
+    rescored frame must differ from the rule-only frame exactly when the
+    fuzzy score differs from the rule score."""
+    out = extract_pages(spark.createDataFrame(pages_pdf(60)))
+    masters = spark.createDataFrame(
+        pd.DataFrame({"seller_name": ["SABAR AGROTECH", "KISAN TRACTORS"]})
+    )
+    v = validate_sellers(out, masters, rescore=True)
+    rows = v.collect()
+    assert "consensus_confidence" in v.columns
+    base = {r["url"]: r for r in validate_sellers(out, masters).collect()}
+    for r in rows:
+        b = base[r["url"]]
+        if r["match_score"] is not None and r["field_scores"]["seller"] == 1.0:
+            # fuzzy hit >= 0.9: consensus moves by (match_score - 1.0) * 0.6/7
+            want = b["consensus_confidence"] + 0.6 * (r["match_score"] - 1.0) / 7.0
+            assert abs(r["consensus_confidence"] - round(want, 2)) <= 0.011
+        else:
+            assert r["consensus_confidence"] == b["consensus_confidence"]
+
+
 def test_vacuum_removes_superseded_files(spark, tmp_path):
     tbl = str(tmp_path / "t")
     src = spark.createDataFrame(pages_pdf(20))

@@ -51,6 +51,8 @@ def test_spark_pipeline_matches_goldens(spark, goldens):
         g = goldens[r["url"]]
         assert r["extracted_text"].encode("utf-8") == g["extracted_text"].encode("utf-8")
         assert r["confidence"] == g["confidence"]
+        assert r["consensus_confidence"] == g["consensus_confidence"]
+        assert r["field_scores"].asDict() == g["field_scores"]
         assert r["total_amount"] == g["total_amount"]
         for name, want in g["fields"].items():
             s = r["fields"][name]
