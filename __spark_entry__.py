@@ -21,7 +21,9 @@ from pyspark.sql.window import Window
 
 from invoice_extraction_spark.corpus import pages_pdf
 from invoice_extraction_spark.functions import text_metrics as tm
+from invoice_extraction_spark.functions.fields import FIELD_NAMES
 from invoice_extraction_spark.operators import dedup as dd
+from invoice_extraction_spark.operators import errors as er
 from invoice_extraction_spark.operators import similarity as sim
 from invoice_extraction_spark.operators.extract import extract_pages
 
@@ -514,6 +516,39 @@ def _q_fuzzy_seller_validation(spark, sf_dir):
     return v.select("url", "seller_canonical", "match_score").orderBy("url")
 
 
+N_ERROR_DOCS = 64  # == the golden-fixture corpus, so the DuckDB twins can
+# re-derive the taxonomy from tests/golden/goldens.json — the oracle input
+# is the FROZEN file, not the live pipeline, making this a genuine
+# cross-check of extraction + categorization together.
+
+
+def _error_frame(spark):
+    return extract_pages(
+        spark.createDataFrame(pages_pdf(N_ERROR_DOCS)), num_partitions=8
+    )
+
+
+def _q_error_distribution(spark, sf_dir):
+    """Error-category frequency over REAL extraction output
+    (error_analysis.py:48-100 taxonomy + :120-135 distribution)."""
+    return er.error_distribution(_error_frame(spark))
+
+
+def _q_error_severity(spark, sf_dir):
+    """Severity rollup of extraction errors (error_analysis.py:159-200)."""
+    return er.error_severity_rollup(_error_frame(spark))
+
+
+def _q_confidence_vs_errors(spark, sf_dir):
+    """Avg error count per confidence bin (error_analysis.py:288-335)."""
+    return er.confidence_vs_errors(_error_frame(spark))
+
+
+def _q_field_success_summary(spark, sf_dir):
+    """Per-field batch success rates + OVERALL (executable.py:155-181)."""
+    return er.field_success_summary(_error_frame(spark))
+
+
 def _q_json_extract_props(spark, sf_dir):
     """F12 analog (JSON substring extract + repair, extractor.py:148-165):
     parse the events.props JSON column; malformed rows -> null, counted
@@ -581,6 +616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dedup_survivors": _q_near_dedup_survivors,
         "fuzzy_seller_validation": _q_fuzzy_seller_validation,
+        "error_distribution": _q_error_distribution,
+        "error_severity": _q_error_severity,
+        "confidence_vs_errors": _q_confidence_vs_errors,
+        "field_success_summary": _q_field_success_summary,
     }
 
 
@@ -627,6 +666,82 @@ def _fuzzy_seller_sql() -> str:
                CASE WHEN score >= 0.9 THEN score END AS match_score
         FROM best WHERE rk = 1 ORDER BY url
     """
+
+
+def _golden_error_cte() -> str:
+    """VALUES CTE of per-url flags derived from the FROZEN golden fixtures
+    (tests/golden/goldens.json) — NOT from the live pipeline. Flag semantics
+    mirror operators/errors.py: has_<f> (validated span present), inv_<f>
+    (found-but-rejected, field_scores == 0.5), plus confidence,
+    n_fields_found, parse-error and empty-text indicators. All category
+    DERIVATION happens in SQL, so the oracle re-implements the taxonomy
+    independently."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "goldens.json"
+    )
+    with open(path) as fh:
+        g = json.load(fh)
+    rows = []
+    for url, v in sorted(g.items()):
+        nff = sum(1 for n in FIELD_NAMES if v["fields"][n] is not None)
+        cells = [f"'{url}'", repr(float(v["confidence"])), str(nff)]
+        for n in FIELD_NAMES:
+            cells.append("1" if v["fields"][n] is not None else "0")
+            cells.append("1" if v["field_scores"][n] == 0.5 else "0")
+        cells.append("1" if v["error"] else "0")
+        cells.append("1" if not v["extracted_text"] else "0")
+        rows.append("(" + ", ".join(cells) + ")")
+    cols = ["url", "conf", "nff"]
+    for n in FIELD_NAMES:
+        cols += [f"has_{n}", f"inv_{n}"]
+    cols += ["has_err", "empty_text"]
+    return f"WITH g({', '.join(cols)}) AS (VALUES {', '.join(rows)})"
+
+
+def _golden_error_cat_sql() -> str:
+    """Category rows (url, conf, category) — the errors.py taxonomy as SQL."""
+    sel = []
+    for n in FIELD_NAMES:
+        sel.append(
+            f"SELECT url, conf, 'MISSING_{n.upper()}' AS category FROM g WHERE has_{n} = 0"
+        )
+        sel.append(f"SELECT url, conf, 'INVALID_{n.upper()}' FROM g WHERE inv_{n} = 1")
+    sel.append("SELECT url, conf, 'LOW_CONFIDENCE' FROM g WHERE conf < 0.8")
+    sel.append(
+        f"SELECT url, conf, 'PARTIAL_EXTRACTION' FROM g WHERE nff > 0 AND nff < {len(FIELD_NAMES)}"
+    )
+    sel.append("SELECT url, conf, 'PARSE_FAILURE' FROM g WHERE has_err = 1")
+    sel.append("SELECT url, conf, 'EMPTY_TEXT' FROM g WHERE empty_text = 1")
+    return ", cat AS (" + " UNION ALL ".join(sel) + ")"
+
+
+def _severity_case_sql() -> str:
+    pairs = " ".join(
+        f"WHEN '{cat}' THEN '{sev}'"
+        for cat, sev in sorted(er.SEVERITY_BY_CATEGORY.items())
+    )
+    return f"CASE category {pairs} END"
+
+
+def _field_success_sql() -> str:
+    per = " UNION ALL ".join(
+        f"SELECT '{n}' AS field, CAST(SUM(has_{n}) AS BIGINT) AS n_ok, COUNT(*) AS n_total FROM g"
+        for n in FIELD_NAMES
+    )
+    total = " + ".join(f"SUM(has_{n})" for n in FIELD_NAMES)
+    overall = (
+        f"SELECT 'OVERALL' AS field, CAST({total} AS BIGINT) AS n_ok, "
+        f"CAST(COUNT(*) * {len(FIELD_NAMES)} AS BIGINT) AS n_total FROM g"
+    )
+    return (
+        _golden_error_cte()
+        + f", per AS ({per} UNION ALL {overall}) "
+        + "SELECT field, n_ok, n_total, ROUND(n_ok * 100.0 / n_total, 4) AS pct "
+        + "FROM per ORDER BY field"
+    )
 
 
 def _lsh_bucket_sql(vec_expr: str) -> str:
@@ -921,6 +1036,33 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY event_type ORDER BY event_type
         """,
         "fuzzy_seller_validation": _fuzzy_seller_sql(),
+        "error_distribution": _golden_error_cte()
+        + _golden_error_cat_sql()
+        + """
+            SELECT category, COUNT(*) AS n FROM cat
+            GROUP BY category ORDER BY n DESC, category
+        """,
+        "error_severity": _golden_error_cte()
+        + _golden_error_cat_sql()
+        + f"""
+            SELECT {_severity_case_sql()} AS severity, COUNT(*) AS n
+            FROM cat GROUP BY 1 ORDER BY severity
+        """,
+        "confidence_vs_errors": _golden_error_cte()
+        + _golden_error_cat_sql()
+        + """
+            , per_url AS (SELECT url, COUNT(*) AS n_err FROM cat GROUP BY url),
+            j AS (SELECT g.conf, COALESCE(per_url.n_err, 0) AS n_err
+                  FROM g LEFT JOIN per_url USING (url))
+            SELECT CASE WHEN conf >= 0.9 THEN '90-100%'
+                        WHEN conf >= 0.8 THEN '80-90%'
+                        WHEN conf >= 0.7 THEN '70-80%'
+                        ELSE '<70%' END AS conf_bin,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(n_err), 4) AS avg_errors
+            FROM j GROUP BY 1 ORDER BY conf_bin
+        """,
+        "field_success_summary": _field_success_sql(),
         "token_context_window": """
             WITH w AS (SELECT event_id, user_id,
                 ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
