@@ -423,12 +423,16 @@ def _q_lsh_topk_bucket(spark, sf_dir):
 
 
 def _q_ivf_topk(spark, sf_dir):
-    """IVF ANN scale path: k-means coarse quantizer (seeded), probe the 2
-    nearest cells, exact cosine within them. Rows-only check (KMeans is not
-    SQL-expressible)."""
+    """IVF ANN scale path: FROZEN k-means coarse quantizer (literal
+    centroids, trained once on a seeded 25% sample — see
+    scripts/freeze_ivf_centroids.py), probe the 2 nearest cells, exact
+    cosine within them. Hash-checkable (round 2): the DuckDB twin embeds
+    the same centroid literals and re-derives assignment + probe in SQL."""
+    from invoice_extraction_spark.operators.ivf_centroids import FROZEN_IVF_CENTROIDS
+
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.ivf_topk(e, qv, k=10, n_cells=16, n_probe=2)
+    return sim.ivf_topk(e, qv, k=10, centroids=FROZEN_IVF_CENTROIDS, n_probe=2)
 
 
 def _q_value_percentiles(spark, sf_dir):
@@ -549,6 +553,25 @@ def _q_field_success_summary(spark, sf_dir):
     return er.field_success_summary(_error_frame(spark))
 
 
+def _q_pseudo_labels(spark, sf_dir):
+    """Weak-supervision bootstrap (consensus.py:196-222): the >=0.85
+    consensus-confidence slice of the extraction output, exported with its
+    field values as training rows. Oracle: the same filter over the frozen
+    goldens — hash covers both the confidence arithmetic and the exported
+    field VALUES."""
+    from invoice_extraction_spark.operators.extract import pseudo_labels
+
+    out = pseudo_labels(_error_frame(spark))
+    return out.select(
+        "url",
+        F.col("fields.invoice_id.value").alias("invoice_id"),
+        F.col("fields.seller.value").alias("seller"),
+        "total_amount",
+        "consensus_confidence",
+        "source",
+    ).orderBy("url")
+
+
 def _q_json_extract_props(spark, sf_dir):
     """F12 analog (JSON substring extract + repair, extractor.py:148-165):
     parse the events.props JSON column; malformed rows -> null, counted
@@ -616,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dedup_survivors": _q_near_dedup_survivors,
         "fuzzy_seller_validation": _q_fuzzy_seller_validation,
+        "pseudo_labels": _q_pseudo_labels,
         "error_distribution": _q_error_distribution,
         "error_severity": _q_error_severity,
         "confidence_vs_errors": _q_confidence_vs_errors,
@@ -701,6 +725,49 @@ def _golden_error_cte() -> str:
     return f"WITH g({', '.join(cols)}) AS (VALUES {', '.join(rows)})"
 
 
+def _pseudo_labels_sql() -> str:
+    """DuckDB twin of q:pseudo_labels — the frozen goldens filtered by the
+    same >= 0.85 consensus bar, field values exported verbatim."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "goldens.json"
+    )
+    with open(path) as fh:
+        g = json.load(fh)
+
+    def s(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    rows = []
+    for url, v in sorted(g.items()):
+        inv = v["fields"]["invoice_id"]
+        sel = v["fields"]["seller"]
+        rows.append(
+            "("
+            + ", ".join(
+                [
+                    f"'{url}'",
+                    s(inv and inv["value"]),
+                    s(sel and sel["value"]),
+                    "NULL" if v["total_amount"] is None else repr(float(v["total_amount"])),
+                    repr(float(v["consensus_confidence"])),
+                ]
+            )
+            + ")"
+        )
+    return f"""
+        WITH g(url, invoice_id, seller, total_amount, consensus_confidence)
+        AS (VALUES {', '.join(rows)})
+        SELECT url, invoice_id, seller,
+               CAST(total_amount AS DOUBLE) AS total_amount,
+               CAST(consensus_confidence AS DOUBLE) AS consensus_confidence,
+               'consensus_validation' AS source
+        FROM g WHERE consensus_confidence >= 0.85 ORDER BY url
+    """
+
+
 def _golden_error_cat_sql() -> str:
     """Category rows (url, conf, category) — the errors.py taxonomy as SQL."""
     sel = []
@@ -742,6 +809,45 @@ def _field_success_sql() -> str:
         + "SELECT field, n_ok, n_total, ROUND(n_ok * 100.0 / n_total, 4) AS pct "
         + "FROM per ORDER BY field"
     )
+
+
+def _ivf_topk_sql() -> str:
+    """DuckDB twin of q:ivf_topk — the frozen quantizer centroids are
+    embedded verbatim; assignment (argmax of per-cell cosine, rounded 6 dp
+    exactly like ivf_assign_expr), probe-2 selection, and the final exact
+    top-k are all re-derived in SQL."""
+    from invoice_extraction_spark.operators.ivf_centroids import FROZEN_IVF_CENTROIDS
+
+    def lit(c):
+        return "[" + ",".join(repr(w) for w in c) + "]::DOUBLE[]"
+
+    def cos(vec, c):
+        cl = lit(c)
+        return (
+            f"list_dot_product({vec}, {cl}) / "
+            f"(sqrt(list_dot_product({vec}, {vec})) * sqrt(list_dot_product({cl}, {cl})))"
+        )
+
+    cent_rows = ", ".join(
+        f"({i + 1}, {lit(c)})" for i, c in enumerate(FROZEN_IVF_CENTROIDS)
+    )
+    scores = "[" + ", ".join(f"ROUND({cos('e', c)}, 6)" for c in FROZEN_IVF_CENTROIDS) + "]"
+    return f"""
+        WITH cents(cell, c) AS (VALUES {cent_rows}),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS (SELECT cell FROM cents, q
+                  ORDER BY list_dot_product(c, qv)
+                         / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC, cell
+                  LIMIT 2),
+        assigned AS (SELECT vec_id, e, list_indexof(s, list_max(s)) AS cell FROM
+                     (SELECT vec_id, embedding::DOUBLE[] AS e, {scores} AS s FROM embeddings)),
+        cand AS (SELECT vec_id, e FROM assigned WHERE cell IN (SELECT cell FROM probe))
+        SELECT vec_id,
+               ROUND(list_dot_product(e, qv)
+                   / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        FROM cand, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
 
 
 def _lsh_bucket_sql(vec_expr: str) -> str:
@@ -984,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b, qr WHERE b.bucket = qr.qbucket
             ORDER BY cos_sim DESC, vec_id LIMIT 5
         """,
+        "ivf_topk": _ivf_topk_sql(),
         "value_percentiles": """
             SELECT event_type,
                    ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -1036,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY event_type ORDER BY event_type
         """,
         "fuzzy_seller_validation": _fuzzy_seller_sql(),
+        "pseudo_labels": _pseudo_labels_sql(),
         "error_distribution": _golden_error_cte()
         + _golden_error_cat_sql()
         + """

@@ -36,8 +36,10 @@ BLOCK_TAGS = frozenset(
     """.split()
 )
 
-# Content inside these is never text.
-SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+# Content inside these is never text. iframe fallback content is included:
+# a framing browser never renders it, so treating it as page text would
+# hallucinate fields the user never sees (adversarial-fixture round 2).
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
 
 # Content under these is kept as blocks but never main content.
 HEAD_TAGS = frozenset({"head", "title"})

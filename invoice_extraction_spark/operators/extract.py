@@ -267,6 +267,23 @@ def score_consensus(df: DataFrame, seller_match_score=None) -> DataFrame:
     )
 
 
+PSEUDO_LABEL_MIN_CONFIDENCE = 0.85  # consensus.py:209
+
+
+def pseudo_labels(df: DataFrame, min_confidence: float = PSEUDO_LABEL_MIN_CONFIDENCE) -> DataFrame:
+    """Weak-supervision export (reference pseudo_label_bootstrap,
+    consensus.py:196-222): keep only documents whose consensus confidence
+    clears the 0.85 bar and tag them usable-for-training. A pure filter +
+    projection — the high-confidence slice of the extraction output becomes
+    the next model's training table."""
+    return df.filter(F.col("consensus_confidence") >= min_confidence).withColumns(
+        {
+            "source": F.lit("consensus_validation"),
+            "usable_for_training": F.lit(True),
+        }
+    )
+
+
 def extract_pages(
     df: DataFrame,
     num_partitions: int | None = None,

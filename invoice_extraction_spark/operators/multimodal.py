@@ -3,10 +3,15 @@
 Task-brief requirement for the 100 TB training-data pipeline: media payloads
 flow through Spark as `binary` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batch kernels over
-``mapInPandas``. The image/audio libraries are NOT in this container, so the
-actual decoders are STUBBED behind ``_HAS_PIL``-style gates with a
-deterministic fake (seeded from the payload hash) — the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and tested.
+``mapInPandas``.
+
+Round 2 (VERDICT r1 'Next round' #8): IMAGE rows are REAL — synth_media
+emits genuine PNG files (stdlib zlib + struct encoder) and ``_decode_image``
+is a real pure-stdlib PNG decoder (IHDR parse, IDAT inflate, full 5-filter
+unfiltering) producing true width/height/channel statistics. Audio/video
+payloads remain deterministic fakes (no opus/av1 bitstream codec exists in
+the stdlib — a real deployment wires ffmpeg into the same kernel), and
+non-PNG image formats raise NotImplementedError loudly.
 
 This mirrors how the reference treats its perception stack as swappable
 engines with graceful fallback (EasyOCR -> Tesseract -> skip,
@@ -21,6 +26,8 @@ column at the parquet scan (ReadSchema check in tests).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,12 +35,96 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real decoders if ever present — NOT in this sandbox
-    import PIL.Image  # type: ignore  # noqa: F401
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+
+def png_encode(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal valid RGB-8 PNG (color type 2, no interlace, filter 0).
+    ``pixel_fn(x, y) -> (r, g, b)``. Stdlib-only; round-trips through any
+    compliant decoder."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(v for x in range(width) for v in pixel_fn(x, y))
+        for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Real stdlib PNG decode -> (width, height, channels, pixel bytes).
+    Parses chunks, inflates IDAT, undoes all five scanline filters
+    (None/Sub/Up/Average/Paeth). 8-bit depths, non-interlaced."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h, depth, ctype = 8, [], None, None, None, None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    nch = _CHANNELS_BY_COLOR_TYPE[ctype]
+    stride = w * nch
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, nch, out
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -81,8 +172,22 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 i = int(i)
                 h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
                 mtype = ["image", "audio", "video"][i % 3]
-                payload = (h * (8 + i % 17))[: 256 + (i % 1024)]
                 w, hgt = 16 + h[0] % 64, 16 + h[1] % 64
+                if mtype == "image":
+                    # REAL PNG bytes; pixel pattern is a pure function of
+                    # (seed digest, x, y) so tests can compute expected
+                    # channel stats independently of the decoder
+                    payload = png_encode(
+                        w,
+                        hgt,
+                        lambda x, y, d=h: (
+                            (x * 7 + d[2]) % 256,
+                            (y * 11 + d[3]) % 256,
+                            (x + y + d[4]) % 256,
+                        ),
+                    )
+                else:
+                    payload = (h * (8 + i % 17))[: 256 + (i % 1024)]
                 rows["media_id"].append(i)
                 rows["media_type"].append(mtype)
                 rows["payload"].append(payload)
@@ -100,18 +205,29 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode + 16-dim feature. Real decode is NOT implemented in this
-    container (no PIL/cv2/ffmpeg); a deterministic fake derived from the
-    payload digest keeps the plumbing testable end-to-end."""
-    if _HAS_PIL:
+    """REAL image decode (round 2): stdlib PNG parse -> true dims + a
+    16-bin normalized intensity histogram over the decoded pixel bytes as
+    the feature vector. Non-PNG image formats need a codec library this
+    container doesn't ship — they fail loudly, never fall back to a fake."""
+    if payload[:8] != PNG_SIG:
         raise NotImplementedError(
-            "real image decode path intentionally stubbed: wire PIL.Image.open"
-            " + resize + channel stats here when the library ships"
+            "only PNG image decode is implemented (pure stdlib); JPEG/WebP "
+            "need an image library not present in this container"
         )
+    w, h, _nch, px = png_decode(payload)
+    hist = [0] * FEATURE_DIM
+    for b in px:
+        hist[b * FEATURE_DIM // 256] += 1
+    n = max(len(px), 1)
+    return w, h, [c / n for c in hist]
+
+
+def _fake_signal_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature for audio/video rows — the synthetic
+    payloads are NOT real opus/av1 bitstreams (no stdlib codec exists); a
+    real deployment wires ffmpeg into this same kernel slot."""
     d = hashlib.sha256(payload).digest()
-    w, h = 16 + d[0] % 64, 16 + d[1] % 64
-    feat = [b / 255.0 for b in d[:FEATURE_DIM]]
-    return w, h, feat
+    return [b / 255.0 for b in d[:FEATURE_DIM]]
 
 
 def _frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
@@ -153,9 +269,12 @@ def extract_features(df: DataFrame, max_batch_bytes: int = 32 << 20) -> DataFram
             "decoded_w": [],
             "decoded_h": [],
         }
-        for p in pdf["payload"]:
+        for mtype, p in zip(pdf["media_type"], pdf["payload"]):
             p = bytes(p or b"")
-            w, h, feat = _decode_image(p)
+            if mtype == "image":
+                w, h, feat = _decode_image(p)  # real PNG decode
+            else:
+                w, h, feat = None, None, _fake_signal_feature(p)
             out["n_bytes"].append(len(p))
             out["sha1"].append(hashlib.sha1(p).hexdigest())
             out["feature"].append(feat)

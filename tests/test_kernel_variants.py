@@ -55,6 +55,65 @@ def test_definition_list_extraction():
     assert f["order_date"].value == "Mar 9, 2021"
 
 
+COMMENT_HEAVY = b"""<html><body><main>
+<!-- rendering pipeline v2 -->
+<!-- Invoice No: INV-999999 (debug) -->
+<p>Genuine article text about the order confirmation process here.</p>
+<!-- Total Amount: 9,999,999 -->
+<p>Invoice No: INV-777888</p>
+<!--[if IE]><p>Total Amount: 8,888,888</p><![endif]-->
+<p>Total Amount: 55,000</p>
+</main></body></html>"""
+
+IFRAME_PAGE = b"""<html><body><main>
+<p>Real page content with the actual purchase details below.</p>
+<iframe src="https://ads.example.com/slot"><p>Total Amount: 7,777,777</p>
+fallback text browsers never render</iframe>
+<p>Total Amount: 61,500</p>
+</main></body></html>"""
+
+LINK_FARM = b"""<html><body><main>
+<p>Short intro paragraph with enough words to count as content.</p>
+<div><a href="/1">cheap tractors 20,000</a> <a href="/2">buy now 30,000</a>
+<a href="/3">deals</a> <a href="/4">sale</a> <a href="/5">offers</a>
+<a href="/6">Total Amount: 4,444,444</a> <a href="/7">more</a></div>
+<p>Total Amount: 72,000</p>
+</main></body></html>"""
+
+
+def test_comments_never_leak_into_text():
+    """Adversarial (NOTES r1): planted fields inside HTML comments — including
+    IE conditional comments — must not be extracted."""
+    text = extract_text(COMMENT_HEAVY)
+    assert "INV-999999" not in text and "9,999,999" not in text
+    assert "8,888,888" not in text
+    f = extract_fields(text)
+    assert f["invoice_id"].value == "INV-777888"
+    assert f["total"].value == "55,000"
+
+
+def test_iframe_fallback_content_is_skipped():
+    """Browsers never render iframe fallback content; the kernel must not
+    extract fields from it."""
+    text = extract_text(IFRAME_PAGE)
+    assert "7,777,777" not in text and "fallback text" not in text
+    f = extract_fields(text)
+    assert f["total"].value == "61,500"
+
+
+def test_link_farm_is_boilerplate_by_link_density():
+    """A link-farm div (dozens of anchors, no prose) must fail the
+    link-density gate even when a decoy amount hides in anchor text."""
+    blocks = parse_blocks(LINK_FARM)
+    farm = next(b for b in blocks if "cheap tractors" in b.text)
+    assert farm.link_density > 0.9
+    assert not farm.is_content
+    text = extract_text(LINK_FARM)
+    assert "4,444,444" not in text
+    f = extract_fields(text)
+    assert f["total"].value == "72,000"
+
+
 def test_cookie_banner_and_share_widgets_are_boilerplate():
     blocks = parse_blocks(DEEP_BOILER)
     by_text = {b.text: b for b in blocks}

@@ -1,14 +1,91 @@
 """Multimodal plumbing: schema, Arrow batch shape, byte-capped rechunking,
-frame sampling, and payload pruning for metadata-only queries."""
+frame sampling, payload pruning for metadata-only queries — and the REAL
+stdlib PNG codec (round 2): encode -> decode round-trip, all five scanline
+filters, decoded dims == planted dims."""
+
+import struct
+import zlib
+
+import pytest
 
 from invoice_extraction_spark.operators.multimodal import (
     FEATURE_DIM,
+    PNG_SIG,
+    _decode_image,
     extract_features,
     frame_sample,
     media_stats,
+    png_decode,
+    png_encode,
     synth_media,
 )
 from invoice_extraction_spark.plans.explain import read_schema
+
+
+def test_png_roundtrip_pure():
+    w, h = 13, 9  # odd sizes catch stride bugs
+    px = lambda x, y: ((x * 5) % 256, (y * 3) % 256, (x + y) % 256)  # noqa: E731
+    data = png_encode(w, h, px)
+    assert data[:8] == PNG_SIG
+    gw, gh, nch, out = png_decode(data)
+    assert (gw, gh, nch) == (w, h, 3)
+    want = bytes(v for y in range(h) for x in range(w) for v in px(x, y))
+    assert bytes(out) == want
+
+
+def _filter_line(ftype, line, prev, nch):
+    """Forward-apply a PNG filter (encoder side) to exercise the decoder's
+    unfiltering for types 1-4, which png_encode itself never emits."""
+    out = bytearray(line)
+    if ftype == 1:
+        for i in range(len(line) - 1, nch - 1, -1):
+            out[i] = (line[i] - line[i - nch]) & 0xFF
+    elif ftype == 2:
+        for i in range(len(line)):
+            out[i] = (line[i] - prev[i]) & 0xFF
+    elif ftype == 3:
+        for i in range(len(line)):
+            left = line[i - nch] if i >= nch else 0
+            out[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:
+        from invoice_extraction_spark.operators.multimodal import _paeth
+
+        for i in range(len(line)):
+            left = line[i - nch] if i >= nch else 0
+            ul = prev[i - nch] if i >= nch else 0
+            out[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+    return bytes(out)
+
+
+def test_png_decode_all_filter_types():
+    w, h, nch = 6, 5, 3
+    pixels = [bytes(((x * 17 + y * 29 + c * 7) % 256) for x in range(w) for c in range(nch)) for y in range(h)]
+    raw = b""
+    prev = bytes(w * nch)
+    for y in range(h):
+        ftype = y % 5  # exercise None, Sub, Up, Average, Paeth
+        raw += bytes([ftype]) + _filter_line(ftype, pixels[y], prev, nch)
+        prev = pixels[y]
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    data = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, gnch, out = png_decode(data)
+    assert (gw, gh, gnch) == (w, h, nch)
+    assert bytes(out) == b"".join(pixels)
+
+
+def test_decode_image_rejects_non_png():
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
 def test_synth_media_deterministic_schema(spark):
@@ -23,13 +100,22 @@ def test_synth_media_deterministic_schema(spark):
 
 
 def test_extract_features_shape_and_determinism(spark):
-    feats = extract_features(synth_media(spark, 48)).collect()
+    media = synth_media(spark, 48)
+    planted = {r["media_id"]: r["meta"] for r in media.collect()}
+    feats = extract_features(media).collect()
     assert len(feats) == 48
     for r in feats:
         assert len(r["feature"]) == FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
         assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
-        assert 16 <= r["decoded_w"] < 80
+        if r["media_type"] == "image":
+            # REAL decode: dims must equal the planted metadata, and the
+            # histogram feature must be a true distribution (sums to 1)
+            assert r["decoded_w"] == planted[r["media_id"]]["width"]
+            assert r["decoded_h"] == planted[r["media_id"]]["height"]
+            assert abs(sum(r["feature"]) - 1.0) < 1e-5
+        else:
+            assert r["decoded_w"] is None and r["decoded_h"] is None
     # deterministic across runs
     again = extract_features(synth_media(spark, 48)).collect()
     assert {r["media_id"]: r["sha1"] for r in feats} == {
