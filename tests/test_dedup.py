@@ -103,6 +103,23 @@ def test_hot_band_cap_keeps_pair_output_linear(spark):
     assert stats["max_band_size"] == 1000
 
 
+def test_lsh_plan_single_kernel_pass_two_small_shuffles(spark):
+    """Round-2 plan shape: the signature kernel appears ONCE in the plan
+    (round 1's band self-join evaluated it per join side), and the only
+    shuffles are the band groupBy and the final pair distinct — both keyed
+    on tiny values (band hash / id pairs), never documents."""
+    from invoice_extraction_spark.plans.explain import (
+        count_exchanges,
+        count_python_stages,
+        physical_plan,
+    )
+
+    q = lsh_candidate_pairs(_docs(spark))
+    assert count_python_stages(q) == 1, physical_plan(q)
+    assert count_exchanges(q) <= 2, physical_plan(q)
+    assert "Join" not in physical_plan(q)
+
+
 def test_dedup_near_handles_pathological_corpus(spark):
     """End-to-end: exact dedup absorbs the identical cluster BEFORE LSH (what
     makes the cap safe), and the near-dup is still removed."""
