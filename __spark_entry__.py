@@ -435,6 +435,14 @@ def _q_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(e, qv, k=10, centroids=FROZEN_IVF_CENTROIDS, n_probe=2)
 
 
+def _q_embedding_topk_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: top-20 highest-cosine pairs
+    among vectors sharing a sign-LSH bucket (the dedup-by-embedding family;
+    bucket prune before any distance math)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_topk_pairs(e, k=20, n_planes=4)
+
+
 def _q_value_percentiles(spark, sf_dir):
     """A11 analog (histogram/percentile stats): exact interpolated
     percentiles of event value per type."""
@@ -633,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prev_purchase": _q_asof_prev_purchase,
         "lsh_topk_bucket": _q_lsh_topk_bucket,
         "ivf_topk": _q_ivf_topk,
+        "embedding_topk_pairs": _q_embedding_topk_pairs,
         "value_percentiles": _q_value_percentiles,
         "json_extract_props": _q_json_extract_props,
         "token_context_window": _q_token_context_window,
@@ -1091,6 +1100,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id LIMIT 5
         """,
         "ivf_topk": _ivf_topk_sql(),
+        "embedding_topk_pairs": f"""
+            WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                       {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   ROUND(list_dot_product(a.e, c.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+        """,
         "value_percentiles": """
             SELECT event_type,
                    ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -190,6 +190,45 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def embedding_topk_pairs(
+    df: DataFrame,
+    k: int = 20,
+    n_planes: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (task brief's
+    'embedding-cosine near-dup' dedup family): the k highest-cosine pairs
+    among vectors sharing a sign-LSH bucket.
+
+    Plan: map-side bucket key (literal seeded hyperplanes — shared verbatim
+    with the DuckDB oracle) -> bucket equi self-join (the only shuffle,
+    keyed on a tiny bucket string; prunes ~(1 - 1/2^n_planes) of the O(n^2)
+    pair space before any distance math) -> exact cosine -> global top-k via
+    TakeOrderedAndProject (never materializes the sorted set). At 10^12
+    vectors raise n_planes so buckets stay executor-sized; near-identical
+    vectors agree on every sign bit, so recall for true near-dups stays high.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = b.alias("a").join(
+        b.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+    )
+    return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

@@ -68,6 +68,29 @@ def test_ivf_probe_prefers_nearest_cells():
     assert ivf_probe_cells(q, cents, 2)[0] == 2  # 1-based
 
 
+def test_embedding_topk_pairs_bucket_prunes_and_ranks(spark):
+    from invoice_extraction_spark.operators.similarity import embedding_topk_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = embedding_topk_pairs(emb, k=10, n_planes=4).collect()
+    assert len(got) == 10
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    # every returned pair really shares a bucket => cosine must be the true
+    # value (spot-check one pair against a direct computation)
+    from invoice_extraction_spark.operators.similarity import cosine as _cos
+    import pyspark.sql.functions as F
+
+    r = got[0]
+    va = emb.filter(F.col("vec_id") == r["id_a"]).first()["embedding"]
+    vb = emb.filter(F.col("vec_id") == r["id_b"]).first()["embedding"]
+    direct = sum(float(x) * float(y) for x, y in zip(va, vb)) / (
+        sum(float(x) ** 2 for x in va) ** 0.5 * sum(float(y) ** 2 for y in vb) ** 0.5
+    )
+    assert abs(r["cos_sim"] - round(direct, 4)) <= 1e-4
+
+
 def test_ivf_literal_plan_is_pure_column(spark):
     """With literal centroids the whole IVF plan stays JVM-side — no Python
     stage, no ML transform, no shuffle before the final top-k."""
