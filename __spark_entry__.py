@@ -443,6 +443,43 @@ def _q_embedding_topk_pairs(spark, sf_dir):
     return sim.embedding_topk_pairs(e, k=20, n_planes=4)
 
 
+N_MEDIA = 64
+
+
+def _q_media_stats(spark, sf_dir):
+    """Multimodal metadata-only rollup (payload column pruned at the scan —
+    plan-asserted in test_multimodal): counts per media type/codec over the
+    deterministic synthetic media table."""
+    from invoice_extraction_spark.operators.multimodal import media_stats, synth_media
+
+    return media_stats(synth_media(spark, N_MEDIA))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode: REAL stdlib PNG decode of the synthesized image
+    payloads — decoded dims must equal the dims planted by the generator.
+    Oracle: the generator's dim arithmetic (sha256-digest bytes mod 64)
+    re-derived in pure Python, independent of the PNG codec under test."""
+    from invoice_extraction_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    feats = extract_features(synth_media(spark, N_MEDIA))
+    return (
+        feats.filter(F.col("media_type") == "image")
+        .select("media_id", "decoded_w", "decoded_h")
+        .orderBy("media_id")
+    )
+
+
+def _q_lsh_band_stats(spark, sf_dir):
+    """LSH observability ('no silent caps'): band count, hot bands above the
+    cap, and the largest band for the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.lsh_band_stats(d, num_bands=4, rows_per_band=2, max_band_size=64)
+
+
 def _q_value_percentiles(spark, sf_dir):
     """A11 analog (histogram/percentile stats): exact interpolated
     percentiles of event value per type."""
@@ -642,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_bucket": _q_lsh_topk_bucket,
         "ivf_topk": _q_ivf_topk,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
+        "lsh_band_stats": _q_lsh_band_stats,
         "value_percentiles": _q_value_percentiles,
         "json_extract_props": _q_json_extract_props,
         "token_context_window": _q_token_context_window,
@@ -856,6 +896,25 @@ def _ivf_topk_sql() -> str:
                    / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
         FROM cand, q
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _media_features_sql() -> str:
+    """DuckDB twin of q:media_features: the generator's planted dims
+    (sha256-digest arithmetic) as VALUES — validates the whole Spark path
+    (PNG encode -> Arrow batch -> stdlib PNG decode) against arithmetic that
+    never touches the codec under test."""
+    import hashlib
+
+    rows = []
+    for i in range(0, 64, 3):  # media_type 'image' == ids where i % 3 == 0
+        h = hashlib.sha256(f"42:{i}".encode()).digest()
+        rows.append(f"({i}, {16 + h[0] % 64}, {16 + h[1] % 64})")
+    return f"""
+        SELECT media_id, CAST(decoded_w AS INT) AS decoded_w,
+               CAST(decoded_h AS INT) AS decoded_h
+        FROM (VALUES {', '.join(rows)}) AS t(media_id, decoded_w, decoded_h)
+        ORDER BY media_id
     """
 
 
@@ -1100,6 +1159,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id LIMIT 5
         """,
         "ivf_topk": _ivf_topk_sql(),
+        "media_stats": """
+            SELECT media_type, codec, CAST(n AS BIGINT) AS n
+            FROM (VALUES ('audio', 'opus', 21), ('image', 'png', 22),
+                         ('video', 'av1', 21)) AS t(media_type, codec, n)
+            ORDER BY media_type, codec
+        """,
+        "media_features": _media_features_sql(),
+        "lsh_band_stats": _SHINGLES_CTE
+        + f"""
+            , sig AS (SELECT doc_id, {band_sig} FROM sh),
+            bands AS (
+                SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
+                UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
+                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            sizes AS (SELECT band, COUNT(DISTINCT doc_id) AS n FROM bands GROUP BY band)
+            SELECT COUNT(*) AS n_bands,
+                   CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_hot_bands,
+                   CAST(SUM(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_hot_bands,
+                   CAST(MAX(n) AS INT) AS max_band_size
+            FROM sizes
+        """,
         "embedding_topk_pairs": f"""
             WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                        {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket

@@ -81,6 +81,7 @@ class Block:
     idx: int = -1
     tag: str = ""
     tag_path: str = ""
+    _stack: tuple = ()  # open-tag snapshot; tag_path derived lazily at finalize
     region: str = "body"  # head | boiler | body  (layout-regioner analog)
     order: int = -1  # document order of first non-space text chunk
     _chunks: list = field(default_factory=list)
@@ -95,11 +96,22 @@ class Block:
     text_density: float = 0.0
     is_content: bool = False
 
-    def finalize(self) -> bool:
+    def finalize(self, path_cache: dict | None = None) -> bool:
         raw = "".join(self._chunks)
         self.text = unicodedata.normalize("NFC", " ".join(raw.split()))
         if not self.text:
             return False
+        # tag_path lazily, and memoized per parse: template pages repeat the
+        # same DOM paths thousands of times (profiled: the eager per-block
+        # join was ~6% of kernel time, mostly for blocks later discarded)
+        if path_cache is not None:
+            p = path_cache.get(self._stack)
+            if p is None:
+                p = "/".join(t.rstrip("!") for t in self._stack)
+                path_cache[self._stack] = p
+            self.tag_path = p
+        else:
+            self.tag_path = "/".join(t.rstrip("!") for t in self._stack)
         self.n_chars = len(self.text)
         self.n_tokens = len(self.text.split(" "))
         link_raw = "".join(self._link_chunks)
@@ -129,6 +141,7 @@ class _BlockParser(HTMLParser):
         self.boiler_depth = 0
         self.link_depth = 0
         self.data_counter = 0
+        self._path_cache: dict = {}
 
     def _is_boiler_attrs(self, attrs) -> bool:
         for k, v in attrs:
@@ -158,7 +171,7 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             b = Block(
                 tag=tag,
-                tag_path="/".join(t.rstrip("!") for t in self.stack),
+                _stack=tuple(self.stack),
                 region=(
                     "head"
                     if self.head_depth > 0
@@ -184,7 +197,7 @@ class _BlockParser(HTMLParser):
                 self.link_depth = max(0, self.link_depth - 1)
             if top_tag in BLOCK_TAGS and self.block_stack:
                 b = self.block_stack.pop()
-                if b.finalize():
+                if b.finalize(self._path_cache):
                     self.blocks.append(b)
             if top_tag == tag:
                 break
