@@ -33,11 +33,16 @@ def main(argv=None):
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from invoice_extraction_spark.operators.errors import save_error_report
     from invoice_extraction_spark.operators.extract import pseudo_labels
     from invoice_extraction_spark.session import get_spark
     from invoice_extraction_spark.sources.atomic import read_table
 
+    # only stop a session this job created — getOrCreate may hand us the
+    # caller's (e.g. a test harness driving main() in-process)
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="report-job", master=args.master)
     df = read_table(spark, args.table)
     report = save_error_report(df, args.out)
@@ -45,7 +50,8 @@ def main(argv=None):
     if args.pseudo_labels:
         pseudo_labels(df).write.mode("overwrite").parquet(args.pseudo_labels)
         print(json.dumps({"pseudo_labels": args.pseudo_labels}))
-    spark.stop()
+    if owned:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -70,3 +70,33 @@ def test_order_date_anchor_does_not_leak_into_invoice_date():
     f = extract_fields("Order Date: 28/12/2021")
     assert f["order_date"].value == "28/12/2021"
     assert f["invoice_date"] is None
+
+
+# --- property fuzz: span offsets always index into the text --------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_invoiceish = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["Invoice No: INV-123456", "Grand Total: ₹45,000", "Total: 99",
+             "Sold By: ROYAL MOTORS", "Bill To: 7 Canal Rd", "Ship To: x",
+             "Invoice Date: 12/11/2021", "Order Date: Mar 9, 2021",
+             "random prose words", "Dated: 2021-01-02", "₹ 1,234,567"]
+        ),
+        st.text(alphabet="aZ 9:,.₹$-\n", min_size=0, max_size=16),
+    ),
+    max_size=12,
+).map("\n".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_invoiceish)
+def test_spans_always_index_into_text(text):
+    """Invariant behind the golden span contract: whatever the input, every
+    returned span's [start, end) must slice the input back to its value."""
+    for name, s in extract_fields(text).items():
+        if s is not None:
+            assert text[s.start : s.end] == s.value, (name, s)
+            assert s.value.strip() == s.value
