@@ -90,6 +90,7 @@ def commit_append(
     table_dir: str,
     run_id: str | None = None,
     ok_predicate: str = "extracted_text IS NOT NULL AND length(extracted_text) > 0",
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as one atomic snapshot append; returns the manifest.
 
@@ -100,6 +101,13 @@ def commit_append(
     the table at 100 TB — VERDICT "What's wrong" #3). The manifest (files +
     lineage) is published with one atomic rename — the Iceberg-snapshot-
     commit analog.
+
+    ``partition_by`` hive-partitions the snapshot's data files (e.g.
+    ``["lang"]``): readers filtering on those columns prune whole
+    directories at scan planning (PartitionFilters — the Iceberg
+    partition-spec analog; asserted in test_atomic_resume). At 100 TB,
+    partition pruning is the difference between scanning one language's
+    slice and scanning the world.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     # data dir is unique per COMMIT (not per run_id): a retried run_id must
@@ -131,9 +139,10 @@ def commit_append(
                 {pid: {"n_rows": n, "n_ok": ok, "n_failed": n - ok, "bytes_in": nbytes}}
             )
 
-    staged.mapInPandas(_count_epilogue, staged.schema).write.mode(
-        "overwrite"
-    ).parquet(data_dir)
+    writer = staged.mapInPandas(_count_epilogue, staged.schema).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
 
     counters = acc.value
     if not counters:  # a resume with nothing pending publishes NO snapshot
@@ -141,14 +150,17 @@ def commit_append(
 
         _shutil.rmtree(data_dir, ignore_errors=True)
         return {"run_id": run_id, "files": [], "committed_at": time.time(), "lineage": [], "empty": True}
-    files = [
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
+    files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(data_dir)
+        for f in fs
         if f.endswith(".parquet")
-    ]
+    )
     manifest = {
         "run_id": run_id,
-        "files": sorted(files),
+        "data_dir": data_dir,
+        "partition_by": partition_by or [],
+        "files": files,
         "committed_at": time.time(),
         "lineage": [
             {
@@ -193,10 +205,29 @@ def read_table(
             if cut is None:
                 raise FileNotFoundError(f"no snapshot with run_id={as_of!r}")
             manifests = manifests[: cut + 1]
-    files = _files_from(manifests)
-    if not files:
+    # Partitioned snapshots need their commit's data_dir as basePath so the
+    # hive-style dir values come back as (prunable) partition columns; plain
+    # snapshots are batched into ONE multi-file read to keep the plan small.
+    plain: list[str] = []
+    partitioned: list[tuple[str, list[str]]] = []
+    for m in manifests:
+        if m.get("base"):
+            plain, partitioned = [], []
+        if m.get("partition_by"):
+            partitioned.append((m["data_dir"], m["files"]))
+        else:
+            plain.extend(m["files"])
+    if not plain and not partitioned:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
-    return spark.read.parquet(*files).drop("_pid", "_ok")
+    parts = []
+    if plain:
+        parts.append(spark.read.parquet(*plain))
+    for base, files in partitioned:
+        parts.append(spark.read.option("basePath", base).parquet(*files))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("_pid", "_ok")
 
 
 def compact(spark: SparkSession, table_dir: str, target_files: int = 8) -> dict:

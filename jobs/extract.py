@@ -37,6 +37,12 @@ def main(argv=None):
     ap.add_argument(
         "--compact", action="store_true", help="compact the table after committing"
     )
+    ap.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated output partition columns (e.g. lang) — readers "
+        "filtering on them prune whole directories at scan planning",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -56,7 +62,12 @@ def main(argv=None):
 
         src = dedup_exact(src, text_col="html", id_col="url")
     out = extract_pages(src, num_partitions=args.partitions, salt_seed=args.salt_seed)
-    manifest = commit_append(out, args.table, run_id=uuid.uuid4().hex[:12])
+    manifest = commit_append(
+        out,
+        args.table,
+        run_id=uuid.uuid4().hex[:12],
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+    )
     n = sum(ln["n_rows"] for ln in manifest["lineage"])
     ok = sum(ln["n_ok"] for ln in manifest["lineage"])
     print(f"committed run_id={manifest['run_id']} rows={n} ok={ok}")

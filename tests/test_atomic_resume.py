@@ -7,6 +7,7 @@ uninterrupted run.
 
 import os
 
+from pyspark.sql import functions as F
 
 from invoice_extraction_spark.corpus import pages_pdf
 from invoice_extraction_spark.operators.extract import extract_pages
@@ -121,6 +122,37 @@ def test_commit_is_single_pass(spark, tmp_path, monkeypatch):
     rows = lineage_df(spark, tbl).collect()
     assert sum(r["n_rows"] for r in rows) == N
     assert len(rows) > 1
+
+
+def test_partitioned_commit_prunes_at_scan(spark, tmp_path):
+    """partition_by writes hive-partitioned snapshots: a filter on the
+    partition column must show up as a scan-time PartitionFilter (whole
+    directories pruned — the Iceberg partition-spec analog), and the table
+    contract (roundtrip, lineage, mixed plain+partitioned snapshots) holds."""
+    tbl = str(tmp_path / "out")
+    src = spark.createDataFrame(pages_pdf(N))
+    out = extract_pages(src, num_partitions=4)
+    commit_append(out.filter("lang = 'en'"), tbl, run_id="en", partition_by=["lang"])
+    commit_append(out.filter("lang <> 'en'"), tbl, run_id="rest", partition_by=["lang"])
+
+    got = read_table(spark, tbl)
+    assert got.count() == N
+    assert set(got.columns) >= {"url", "extracted_text", "lang"}
+    en = got.filter(F.col("lang") == "en")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120], plan
+    assert en.count() == out.filter("lang = 'en'").count()
+
+    # mixed table: a later UNpartitioned snapshot unions cleanly
+    commit_append(
+        extract_pages(spark.createDataFrame(pages_pdf(N + 8)).orderBy("url").limit(8)),
+        tbl,
+        run_id="plain",
+    )
+    assert read_table(spark, tbl).count() == N + 8
+
+    runs = {r["run_id"] for r in lineage_df(spark, tbl).collect()}
+    assert runs == {"en", "rest", "plain"}
 
 
 def test_resume_plan_uses_anti_join(spark, tmp_path):
