@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MAX_DIM_ROWS = 100_000  # broadcast-literal contract: master lists are small
+# Literal-fold contract: the dim becomes a Catalyst literal array, so its
+# size bounds the EXPRESSION TREE, not just the data — 100k struct literals
+# would blow up plan compile time/memory. Master lists (dealer registries,
+# canonical vendor names) are hundreds-to-thousands of rows; beyond this
+# cap, switch to a broadcast crossJoin + max_by aggregate instead.
+MAX_DIM_ROWS = 5_000
 
 
 def _norm(col) -> Column:

@@ -85,12 +85,48 @@ class _PerPartitionCounters(AccumulatorParam):
         return a
 
 
+def _footer_counters(data_dir: str, totals: dict) -> dict:
+    """Metadata-only lineage: n_rows per task partition from parquet FOOTERS
+    (never the data pages; pid parsed from the part-file name), plus one
+    pid = -1 summary entry carrying the Observation's global quality
+    counters so lineage column sums stay exact."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    if not totals or not totals.get("n_rows"):
+        return {}
+    counters: dict[int, dict] = {}
+    for root, _dirs, fs in os.walk(data_dir):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            m = _re.match(r"part-(\d+)", f)
+            pid = int(m.group(1)) if m else -2
+            n = _pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            if n == 0:
+                continue
+            c = counters.setdefault(
+                pid, {"n_rows": 0, "n_ok": 0, "n_failed": 0, "bytes_in": 0}
+            )
+            c["n_rows"] += n
+    n_ok = int(totals["n_ok"] or 0)
+    counters[-1] = {
+        "n_rows": 0,
+        "n_ok": n_ok,
+        "n_failed": int(totals["n_rows"]) - n_ok,
+        "bytes_in": int(totals["bytes_in"] or 0),
+    }
+    return counters
+
+
 def commit_append(
     df: DataFrame,
     table_dir: str,
     run_id: str | None = None,
     ok_predicate: str = "extracted_text IS NOT NULL AND length(extracted_text) > 0",
     partition_by: list[str] | None = None,
+    lineage_mode: str = "epilogue",
 ) -> dict:
     """Write ``df`` as one atomic snapshot append; returns the manifest.
 
@@ -108,6 +144,18 @@ def commit_append(
     partition-spec analog; asserted in test_atomic_resume). At 100 TB,
     partition pruning is the difference between scanning one language's
     slice and scanning the world.
+
+    ``lineage_mode`` trades lineage granularity for commit cost (the Arrow
+    epilogue measured ~35% on a write-dominated job):
+
+    - ``"epilogue"`` (default): per-partition n_rows/n_ok/n_failed/bytes_in
+      via the in-write Arrow counting pass.
+    - ``"footer"``: ZERO extra compute — per-partition n_rows from parquet
+      FOOTER metadata (pid parsed from part-file names), plus ONE summary
+      lineage row (partition_id = -1) carrying global n_ok/n_failed/
+      bytes_in from a Spark ``Observation`` on the same write action.
+      Column sums over ``lineage_df`` stay correct; only per-partition
+      quality splits are coarser.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     # data dir is unique per COMMIT (not per run_id): a retried run_id must
@@ -139,12 +187,33 @@ def commit_append(
                 {pid: {"n_rows": n, "n_ok": ok, "n_failed": n - ok, "bytes_in": nbytes}}
             )
 
-    writer = staged.mapInPandas(_count_epilogue, staged.schema).write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(data_dir)
+    if lineage_mode == "footer":
+        from pyspark.sql import Observation
 
-    counters = acc.value
+        obs = Observation()
+        observed = staged.withColumn("_pid", F.spark_partition_id()).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_ok").cast("long")).alias("n_ok"),
+            (
+                F.sum(F.coalesce(F.col("bytes_in"), F.lit(0)))
+                if has_bytes
+                else F.sum(F.lit(0))
+            ).alias("bytes_in"),
+        )
+        writer = observed.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        counters = _footer_counters(data_dir, obs.get)
+    else:
+        writer = staged.mapInPandas(_count_epilogue, staged.schema).write.mode(
+            "overwrite"
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        counters = acc.value
     if not counters:  # a resume with nothing pending publishes NO snapshot
         import shutil as _shutil
 

@@ -155,6 +155,29 @@ def test_partitioned_commit_prunes_at_scan(spark, tmp_path):
     assert runs == {"en", "rest", "plain"}
 
 
+def test_footer_lineage_mode_zero_python_and_exact_sums(spark, tmp_path):
+    """lineage_mode='footer': per-partition row counts come from parquet
+    FOOTER metadata + one Observation summary row — the commit adds ZERO
+    Python stages beyond the extraction kernel itself, and lineage column
+    sums equal the epilogue mode's."""
+    from invoice_extraction_spark.plans.explain import count_python_stages
+
+    tbl = str(tmp_path / "out")
+    src = spark.createDataFrame(pages_pdf(N))
+    out = extract_pages(src, num_partitions=4)
+    assert count_python_stages(out) == 1  # the extraction kernel only
+    commit_append(out, tbl, run_id="r1", lineage_mode="footer")
+    rows = lineage_df(spark, tbl).collect()
+    assert sum(r["n_rows"] for r in rows) == N
+    assert sum(r["n_ok"] for r in rows) == N
+    assert sum(r["bytes_in"] for r in rows) > 0
+    assert len([r for r in rows if r["partition_id"] >= 0]) > 1  # per-partition
+    assert read_table(spark, tbl).count() == N
+    # empty append still publishes nothing
+    m = commit_append(out.filter("url = 'nope'"), tbl, lineage_mode="footer")
+    assert m.get("empty") is True
+
+
 def test_resume_plan_uses_anti_join(spark, tmp_path):
     tbl = str(tmp_path / "out")
     src = spark.createDataFrame(pages_pdf(N))
