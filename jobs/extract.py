@@ -24,7 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", required=True, help="input pages parquet/table dir")
+    ap.add_argument("--source", required=True, help="input pages parquet/table dir or WARC glob")
+    ap.add_argument(
+        "--source-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="parquet table (default) or Common-Crawl-style WARC segments (.warc / .warc.gz)",
+    )
     ap.add_argument("--table", required=True, help="output table dir (atomic snapshots)")
     ap.add_argument("--partitions", type=int, default=None, help="salted repartition width")
     ap.add_argument("--salt-seed", type=int, default=42)
@@ -51,7 +57,12 @@ def main(argv=None):
     from invoice_extraction_spark.sources.atomic import commit_append, pending_source
 
     spark = get_spark(app_name="extract-job", master=args.master)
-    src = spark.read.parquet(args.source)
+    if args.source_format == "warc":
+        from invoice_extraction_spark.sources.warc import read_warc
+
+        src = read_warc(spark, args.source).drop("segment")
+    else:
+        src = spark.read.parquet(args.source)
     if args.resume:
         src = pending_source(src, args.table)
     if args.dedup:
