@@ -128,6 +128,30 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+def _q_repetition_scores(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 adapted to single-line word text): duplicate-token fraction and
+    top-bigram fraction per document."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        tm.dup_token_fraction("text").alias("dup_token_frac"),
+        tm.top_bigram_fraction("text").alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def _q_repetition_filter_counts(spark, sf_dir):
+    """The repetition KEEP gate applied corpus-wide: keep/drop counts per
+    language (the filter a 100 TB pretraining pipeline actually runs)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tm.repetition_keep("text").alias("keep"))
+        .groupBy("lang", "keep")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "keep")
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     """Exact dedup summary: hash-groupBy distinct-text accounting."""
     d = _t(spark, sf_dir, "documents")
@@ -655,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_source": _q_token_stats_by_source,
         "lang_guess_counts": _q_lang_guess_counts,
         "quality_scores": _q_quality_scores,
+        "repetition_scores": _q_repetition_scores,
+        "repetition_filter_counts": _q_repetition_filter_counts,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_pairs": _q_lsh_pairs,
@@ -980,6 +1006,34 @@ def oracle_sql() -> dict[str, str]:
               + 0.3 * (1.0 - least(1.0, 20.0 * (npunct * 1.0 / nchars))), 4) AS score FROM m)
             SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
             FROM s GROUP BY q_bin ORDER BY q_bin
+        """,
+        "repetition_scores": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 200),
+            m AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS d,
+                  (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(
+                      list_transform(range(1, greatest(len(toks)-1, 1) + 1),
+                                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS u(x)
+                      GROUP BY x)) AS mb
+                  FROM t)
+            SELECT doc_id, ROUND(1.0 - d * 1.0 / n, 4) AS dup_token_frac,
+                   ROUND(mb * 1.0 / greatest(n - 1, 1), 4) AS top_bigram_frac
+            FROM m ORDER BY doc_id
+        """,
+        "repetition_filter_counts": """
+            WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS d,
+                  (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(
+                      list_transform(range(1, greatest(len(toks)-1, 1) + 1),
+                                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS u(x)
+                      GROUP BY x)) AS mb
+                  FROM t),
+            k AS (SELECT lang,
+                  (ROUND(1.0 - d * 1.0 / n, 4) <= 0.6
+                   AND (mb < 2 OR ROUND(mb * 1.0 / greatest(n - 1, 1), 4) <= 0.08)) AS keep
+                  FROM m)
+            SELECT lang, keep, COUNT(*) AS n FROM k GROUP BY lang, keep
+            ORDER BY lang, keep
         """,
         "exact_dedup": """
             WITH g AS (SELECT md5(text) AS h, COUNT(*) AS n_dups FROM documents GROUP BY 1)
