@@ -128,6 +128,45 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+def _q_cross_doc_contamination(spark, sf_dir):
+    """C4/CCNet cross-document duplication signal: per-doc fraction of
+    5-gram slots shared verbatim with at least one other document. Summary
+    rows (contamination deciles) so the result is small and stable."""
+    d = _t(spark, sf_dir, "documents")
+    c = dd.cross_doc_contamination(d, shingle_n=5)
+    bin_ = F.least(F.floor(F.col("contamination") * 10).cast("int"), F.lit(9))
+    return (
+        c.select(bin_.alias("c_bin"), "n_shared_slots")
+        .groupBy("c_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_shared_slots").alias("shared_slots"),
+        )
+        .orderBy("c_bin")
+    )
+
+
+def _q_bpe_token_estimates(spark, sf_dir):
+    """Task-brief token counting, both flavors side by side: whitespace
+    tokens vs BPE-ish pre-tokenizer matches, aggregated per source — the
+    'how many LLM tokens is this corpus' estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            tm.token_count("text").alias("ws"),
+            tm.bpe_ish_token_count("text").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.sum("bpe") / F.greatest(F.sum("ws"), F.lit(1)).cast("double"), 4).alias("bpe_per_ws"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_repetition_scores(spark, sf_dir):
     """Gopher-style within-document repetition signals (Rae et al. 2021
     §A1.1 adapted to single-line word text): duplicate-token fraction and
@@ -679,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_source": _q_token_stats_by_source,
         "lang_guess_counts": _q_lang_guess_counts,
         "quality_scores": _q_quality_scores,
+        "bpe_token_estimates": _q_bpe_token_estimates,
+        "cross_doc_contamination": _q_cross_doc_contamination,
         "repetition_scores": _q_repetition_scores,
         "repetition_filter_counts": _q_repetition_filter_counts,
         "exact_dedup": _q_exact_dedup,
@@ -1006,6 +1047,30 @@ def oracle_sql() -> dict[str, str]:
               + 0.3 * (1.0 - least(1.0, 20.0 * (npunct * 1.0 / nchars))), 4) AS score FROM m)
             SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
             FROM s GROUP BY q_bin ORDER BY q_bin
+        """,
+        "cross_doc_contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            grams AS (SELECT doc_id, md5(g) AS gh FROM toks,
+                      unnest(list_transform(range(1, greatest(len(t)-4, 1) + 1),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS u(g)),
+            counts AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_slots,
+                        SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+                        FROM grams JOIN counts USING (gh) GROUP BY doc_id),
+            binned AS (SELECT least(CAST(FLOOR(ROUND(n_shared * 1.0 / n_slots, 4) * 10) AS INT), 9) AS c_bin,
+                       n_shared FROM per_doc)
+            SELECT c_bin, COUNT(*) AS n_docs, CAST(SUM(n_shared) AS BIGINT) AS shared_slots
+            FROM binned GROUP BY c_bin ORDER BY c_bin
+        """,
+        "bpe_token_estimates": """
+            WITH t AS (SELECT source,
+                CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS ws,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe
+                FROM documents)
+            SELECT source, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                   ROUND(SUM(bpe) * 1.0 / greatest(SUM(ws), 1), 4) AS bpe_per_ws
+            FROM t GROUP BY source ORDER BY source
         """,
         "repetition_scores": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

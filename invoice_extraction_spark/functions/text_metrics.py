@@ -31,6 +31,20 @@ def token_count(text: Column | str) -> Column:
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
 
 
+# GPT-style pre-tokenizer approximation, kept RE2/Java-portable (no
+# lookarounds): letter runs, SINGLE digits (GPT-4 style), or one non-space
+# symbol — each match is one proto-token before BPE merges.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Task-brief 'BPE-ish regex' token counter: counts pre-tokenizer matches
+    (letter runs / single digits / single symbols) — the standard quick
+    estimate of LLM token cost before running a real BPE."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))

@@ -278,6 +278,57 @@ def dedup_near(
     return survivors.join(drop, id_col, "left_anti")
 
 
+def _ngram_slots(text_col, n: int):
+    """All n-gram SLOTS (non-distinct, one per position) — contamination is
+    measured per slot, so a phrase repeated within a doc counts each time."""
+    toks = F.split(text_col, " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def cross_doc_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-document cross-corpus duplication score (the C4/CCNet signal:
+    spans appearing verbatim in OTHER documents are boilerplate/contamination
+    candidates): the fraction of a doc's n-gram slots whose n-gram occurs in
+    at least one other document.
+
+    Plan: explode md5(n-gram) per slot (the shuffle moves 32-char hashes,
+    never text) -> groupBy gram counting DISTINCT docs -> join back ->
+    per-doc fraction. Two hash shuffles + one hash join, all on tiny keys —
+    the standard corpus-wide inverted-index shape; at 10^12 docs the gram
+    counts table is what you'd persist as the shared-spans index.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_ngram_slots(F.col(text_col), shingle_n)).alias("g"),
+    ).select("id", F.md5("g").alias("gh"))
+    counts = grams.groupBy("gh").agg(F.countDistinct("id").alias("nd"))
+    return (
+        grams.join(counts, "gh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_slots"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared_slots"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_slots",
+            "n_shared_slots",
+            F.round(F.col("n_shared_slots") / F.col("n_slots").cast("double"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def simhash_bits(text_col, bits: int = 32):
     """SimHash as a 32-char '0'/'1' string (portable — no integer bit ops).
 

@@ -103,6 +103,26 @@ def test_hot_band_cap_keeps_pair_output_linear(spark):
     assert stats["max_band_size"] == 1000
 
 
+def test_cross_doc_contamination_planted_shared_span(spark):
+    """Two docs sharing a verbatim 7-token span: exactly the slots inside
+    the shared span count as contaminated; a unique doc scores 0."""
+    from invoice_extraction_spark.operators.dedup import cross_doc_contamination
+
+    shared = "the quick brown fox jumps over dog"  # 7 tokens -> 3 shared 5-grams
+    rows = [
+        (0, shared + " alpha beta gamma delta epsilon"),
+        (1, "zeta eta theta iota kappa " + shared),
+        (2, "completely unique words nothing in common here at all today"),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in cross_doc_contamination(d, shingle_n=5).collect()}
+    # doc 0: 12 tokens -> 8 slots, 3 of them inside the shared span
+    assert got[0]["n_slots"] == 8 and got[0]["n_shared_slots"] == 3
+    assert got[0]["contamination"] == round(3 / 8, 4)
+    assert got[1]["n_shared_slots"] == 3
+    assert got[2]["n_shared_slots"] == 0 and got[2]["contamination"] == 0.0
+
+
 def test_lsh_plan_single_kernel_pass_two_small_shuffles(spark):
     """Round-2 plan shape: the signature kernel appears ONCE in the plan
     (round 1's band self-join evaluated it per join side), and the only
