@@ -128,6 +128,31 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic hash-quota sampling: cap every source at 20 docs by
+    md5 order; returns the chosen doc ids (fully reproducible — the same
+    docs on any cluster/partitioning)."""
+    from invoice_extraction_spark.operators.sampling import hash_quota_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_quota_sample(d, "source", n_per_stratum=20, key_col="doc_id", seed=42)
+    return s.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+def _q_hash_split_counts(spark, sf_dir):
+    """Contamination-proof train/val/test split (hash-bucket membership,
+    map-only): doc counts + char sums per split per language."""
+    from invoice_extraction_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, key_col="doc_id", val_pct=10, test_pct=10, seed=42)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .orderBy("lang", "split")
+    )
+
+
 def _q_cross_doc_contamination(spark, sf_dir):
     """C4/CCNet cross-document duplication signal: per-doc fraction of
     5-gram slots shared verbatim with at least one other document. Summary
@@ -720,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "bpe_token_estimates": _q_bpe_token_estimates,
         "cross_doc_contamination": _q_cross_doc_contamination,
+        "quota_sample": _q_quota_sample,
+        "hash_split_counts": _q_hash_split_counts,
         "repetition_scores": _q_repetition_scores,
         "repetition_filter_counts": _q_repetition_filter_counts,
         "exact_dedup": _q_exact_dedup,
@@ -1047,6 +1074,23 @@ def oracle_sql() -> dict[str, str]:
               + 0.3 * (1.0 - least(1.0, 20.0 * (npunct * 1.0 / nchars))), 4) AS score FROM m)
             SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
             FROM s GROUP BY q_bin ORDER BY q_bin
+        """,
+        "quota_sample": """
+            WITH r AS (SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                       FROM documents)
+            SELECT source, doc_id FROM r WHERE rk <= 20 ORDER BY source, doc_id
+        """,
+        "hash_split_counts": """
+            WITH s AS (SELECT lang, n_chars,
+                       CAST(CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+                            ELSE 'train' END AS VARCHAR) AS split
+                       FROM (SELECT lang, n_chars,
+                             CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS BIGINT) AS b
+                             FROM documents))
+            SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM s GROUP BY lang, split ORDER BY lang, split
         """,
         "cross_doc_contamination": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
