@@ -128,6 +128,39 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+PII_FIXTURES = [
+    "contact me at jane.doe+spam@example.co.in or on +91 98765 43210",
+    "server 192.168.1.254 port 8080, fallback 10.0.0.1",
+    "call 022-2345-6789 ext 12; invoice INV-123456 total 45,000",
+    "no pii here at all, just words and a year 2021",
+    "mixed: bob@x.io then 8.8.8.8 then +1-800-555-0199 done",
+    "not-an-ip 999.999 and not-a-phone 12-34",
+    "a@b.cc a@b.cc duplicate emails on one line",
+]
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction semantics cross-checked ENGINE vs ORACLE: the same
+    fixture strings go through Spark's Java-regex pipeline and DuckDB's RE2
+    twin — the hash match proves the redaction patterns mean the same thing
+    in both regex dialects (the classic silent-divergence risk)."""
+    import pandas as pd
+
+    from invoice_extraction_spark.functions import pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": range(len(PII_FIXTURES)), "text": PII_FIXTURES})
+    )
+    counts = pii.pii_counts(F.col("text"))
+    return df.select(
+        "fid",
+        pii.scrub_pii("text").alias("scrubbed"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    ).orderBy("fid")
+
+
 def _q_quota_sample(spark, sf_dir):
     """Deterministic hash-quota sampling: cap every source at 20 docs by
     md5 order; returns the chosen doc ids (fully reproducible — the same
@@ -745,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "bpe_token_estimates": _q_bpe_token_estimates,
         "cross_doc_contamination": _q_cross_doc_contamination,
+        "pii_scrub": _q_pii_scrub,
         "quota_sample": _q_quota_sample,
         "hash_split_counts": _q_hash_split_counts,
         "repetition_scores": _q_repetition_scores,
@@ -832,6 +866,30 @@ def _fuzzy_seller_sql() -> str:
                CASE WHEN score >= 0.9 THEN name END AS seller_canonical,
                CASE WHEN score >= 0.9 THEN score END AS match_score
         FROM best WHERE rk = 1 ORDER BY url
+    """
+
+
+def _pii_scrub_sql() -> str:
+    """RE2 twin of q:pii_scrub over the same fixture VALUES. DuckDB's
+    regexp_replace is first-match-only without the 'g' flag — Spark's
+    replaces all, so 'g' is load-bearing here."""
+    from invoice_extraction_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(PII_FIXTURES))
+    return f"""
+        WITH f(fid, text) AS (VALUES {vals}),
+        s1 AS (SELECT fid, text,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM f),
+        s2 AS (SELECT fid, n_emails,
+               len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+               regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1),
+        s3 AS (SELECT fid, n_emails, n_ips,
+               len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+               regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed FROM s2)
+        SELECT fid, scrubbed, CAST(n_emails AS INT) AS n_emails,
+               CAST(n_ips AS INT) AS n_ips, CAST(n_phones AS INT) AS n_phones
+        FROM s3 ORDER BY fid
     """
 
 
@@ -1075,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
             FROM s GROUP BY q_bin ORDER BY q_bin
         """,
+        "pii_scrub": _pii_scrub_sql(),
         "quota_sample": """
             WITH r AS (SELECT source, doc_id,
                        row_number() OVER (PARTITION BY source
