@@ -128,6 +128,21 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Daily-batch dedup against a persisted corpus index: docs 0-249 are
+    'history', docs 250+ are the new batch; new docs sharing an LSH band
+    with history are dropped. Summary counts (kept/dropped + chars kept)."""
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 250)
+    new = d.filter(F.col("doc_id") >= 250)
+    idx = dd.band_index(history)
+    kept = dd.dedup_incremental(new, idx)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 PII_FIXTURES = [
     "contact me at jane.doe+spam@example.co.in or on +91 98765 43210",
     "server 192.168.1.254 port 8080, fallback 10.0.0.1",
@@ -778,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "bpe_token_estimates": _q_bpe_token_estimates,
         "cross_doc_contamination": _q_cross_doc_contamination,
+        "incremental_dedup": _q_incremental_dedup,
         "pii_scrub": _q_pii_scrub,
         "quota_sample": _q_quota_sample,
         "hash_split_counts": _q_hash_split_counts,
@@ -1132,6 +1148,21 @@ def oracle_sql() -> dict[str, str]:
               + 0.3 * (1.0 - least(1.0, 20.0 * (npunct * 1.0 / nchars))), 4) AS score FROM m)
             SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
             FROM s GROUP BY q_bin ORDER BY q_bin
+        """,
+        "incremental_dedup": _SHINGLES_CTE
+        + f"""
+            , sig AS (SELECT doc_id, {band_sig} FROM sh),
+            bands AS (
+                SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
+                UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
+                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            hist AS (SELECT DISTINCT band FROM bands WHERE doc_id < 250),
+            dropped AS (SELECT DISTINCT doc_id FROM bands
+                        WHERE doc_id >= 250 AND band IN (SELECT band FROM hist))
+            SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+            FROM documents WHERE doc_id >= 250
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "pii_scrub": _pii_scrub_sql(),
         "quota_sample": """

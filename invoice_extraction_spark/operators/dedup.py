@@ -278,6 +278,55 @@ def dedup_near(
     return survivors.join(drop, id_col, "left_anti")
 
 
+def band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(band, id) rows — the persistable LSH index of a corpus. A daily
+    pipeline stores this next to the corpus table (it's k small rows/doc)
+    and dedups each NEW batch against it without touching historical text."""
+    sigd = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_fast(F.col(text_col), num_bands * rows_per_band).alias("sig"),
+    )
+    return sigd.select(
+        "id",
+        F.explode(band_keys_from_sig(F.col("sig"), num_bands, rows_per_band)).alias("band"),
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental near-dedup: drop new docs that share an LSH band with the
+    EXISTING corpus index, return the survivors (ready to append + their
+    band rows to extend the index).
+
+    Plan: band keys for the new batch only (map-side kernel) -> left_anti
+    join against the index on the band hash. Historical TEXT is never read —
+    only the tiny (band, id) index shuffles, which is what makes daily
+    batch-vs-10^12-corpus dedup tractable. Candidate-level (no jaccard
+    verify) — the same recall/precision trade as any banded-LSH first pass;
+    chain ``ngram_jaccard_pairs`` on the survivors for exactness within the
+    batch.
+    """
+    new_bands = band_index(new_df, text_col, id_col, num_bands, rows_per_band)
+    dup_ids = (
+        new_bands.join(index.select("band"), "band", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")
+
+
 def _ngram_slots(text_col, n: int):
     """All n-gram SLOTS (non-distinct, one per position) — contamination is
     measured per slot, so a phrase repeated within a doc counts each time."""

@@ -103,6 +103,33 @@ def test_hot_band_cap_keeps_pair_output_linear(spark):
     assert stats["max_band_size"] == 1000
 
 
+def test_incremental_dedup_drops_only_index_matches(spark):
+    """New batch vs persisted band index: a near-dup of history is dropped,
+    fresh docs survive — and historical TEXT never participates (the index
+    alone decides)."""
+    from invoice_extraction_spark.operators.dedup import band_index, dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    hist = spark.createDataFrame(
+        pd.DataFrame([(0, base)], columns=["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, base.replace("today", "tonight")),  # near-dup of history
+                (11, "completely fresh words about monsoon tractor harvests"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    idx = band_index(hist)
+    kept = sorted(r["doc_id"] for r in dedup_incremental(new, idx).collect())
+    assert kept == [11]
+    # plan never scans history text: only (band, id) rows join
+    plan = dedup_incremental(new, idx)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
 def test_cross_doc_contamination_planted_shared_span(spark):
     """Two docs sharing a verbatim 7-token span: exactly the slots inside
     the shared span count as contaminated; a unique doc scores 0."""
