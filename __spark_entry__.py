@@ -128,6 +128,21 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+BLOCK_TERMS = ["spam", "casino", "slow", "error"]  # stand-in badwords list
+
+
+def _q_blocklist_counts(spark, sf_dir):
+    """C4-style blocklist filter: docs containing any blocked token, counted
+    per language (the filter itself is `~blocklist_hit` in a pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tm.blocklist_hit("text", BLOCK_TERMS).alias("blocked"))
+        .groupBy("lang", "blocked")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "blocked")
+    )
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Daily-batch dedup against a persisted corpus index: docs 0-249 are
     'history', docs 250+ are the new batch; new docs sharing an LSH band
@@ -793,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "bpe_token_estimates": _q_bpe_token_estimates,
         "cross_doc_contamination": _q_cross_doc_contamination,
+        "blocklist_counts": _q_blocklist_counts,
         "incremental_dedup": _q_incremental_dedup,
         "pii_scrub": _q_pii_scrub,
         "quota_sample": _q_quota_sample,
@@ -1148,6 +1164,14 @@ def oracle_sql() -> dict[str, str]:
               + 0.3 * (1.0 - least(1.0, 20.0 * (npunct * 1.0 / nchars))), 4) AS score FROM m)
             SELECT CAST(FLOOR(score * 10) AS INT) AS q_bin, COUNT(*) AS n_docs
             FROM s GROUP BY q_bin ORDER BY q_bin
+        """,
+        "blocklist_counts": """
+            WITH b AS (SELECT lang,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('spam', 'casino', 'slow', 'error'))) > 0 AS blocked
+                FROM documents)
+            SELECT lang, blocked, COUNT(*) AS n FROM b
+            GROUP BY lang, blocked ORDER BY lang, blocked
         """,
         "incremental_dedup": _SHINGLES_CTE
         + f"""

@@ -151,6 +151,21 @@ def repetition_keep(text: Column | str, max_dup_tokens: float = 0.6, max_top_big
     )
 
 
+def blocklist_hit(text: Column | str, terms: list[str]) -> Column:
+    """True when any blocklisted token appears (C4's badwords filter shape:
+    exact token membership against a small list, evaluated as a literal
+    in-expression set — no join, no shuffle, stays in codegen). Case-
+    insensitive. For 100k+ term lists switch to a broadcast semi-join on
+    exploded tokens instead of a literal."""
+    c = _c_(text)
+    lowered = [t.lower() for t in terms]
+    return F.exists(tokens(F.lower(c)), lambda t: t.isin(lowered))
+
+
+def _c_(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
 def fingerprint(text: Column | str, prefix_len: int = 64) -> Column:
     """Cheap stable document fingerprint: md5 over (length, head, tail) —
     the rolling-hash idea collapsed to a portable expression."""
