@@ -107,11 +107,11 @@ class Block:
         if path_cache is not None:
             p = path_cache.get(self._stack)
             if p is None:
-                p = "/".join(t.rstrip("!") for t in self._stack)
+                p = "/".join(t for t, _m in self._stack)
                 path_cache[self._stack] = p
             self.tag_path = p
         else:
-            self.tag_path = "/".join(t.rstrip("!") for t in self._stack)
+            self.tag_path = "/".join(t for t, _m in self._stack)
         self.n_chars = len(self.text)
         self.n_tokens = len(self.text.split(" "))
         link_raw = "".join(self._link_chunks)
@@ -130,10 +130,20 @@ class Block:
         return True
 
 
+# per-tag classification flags, resolved ONCE per tag name instead of 4-5
+# frozenset probes in the hottest loop: (is_block, is_skip, is_head,
+# is_boiler_tag, is_void). Unknown tags share a zero tuple.
+_NO_FLAGS = (False, False, False, False, False)
+_TAG_FLAGS: dict = {
+    t: (t in BLOCK_TAGS, t in SKIP_TAGS, t in HEAD_TAGS, t in BOILER_TAGS, t in VOID_TAGS)
+    for t in (BLOCK_TAGS | SKIP_TAGS | HEAD_TAGS | BOILER_TAGS | VOID_TAGS | {"a"})
+}
+
+
 class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.stack: list[str] = []  # open tag names
+        self.stack: list = []  # (tag, boiler_marked) pairs, open tags
         self.block_stack: list[Block] = []
         self.blocks: list[Block] = []
         self.skip_depth = 0
@@ -152,23 +162,26 @@ class _BlockParser(HTMLParser):
         return False
 
     def handle_starttag(self, tag, attrs):
-        if tag in VOID_TAGS:
+        is_block, is_skip, is_head, is_boiler_tag, is_void = _TAG_FLAGS.get(
+            tag, _NO_FLAGS
+        )
+        if is_void:
             return
-        self.stack.append(tag)
-        if tag in SKIP_TAGS:
+        marked = is_boiler_tag or (bool(attrs) and self._is_boiler_attrs(attrs))
+        self.stack.append((tag, marked))
+        if is_skip:
             self.skip_depth += 1
-        if tag in HEAD_TAGS:
+        if is_head:
             self.head_depth += 1
-        if tag in BOILER_TAGS or self._is_boiler_attrs(attrs):
+        if marked:
             self.boiler_depth += 1
-            self.stack[-1] = tag + "!"  # mark so the matching close decrements
         if tag == "a":
             self.link_depth += 1
             if self.block_stack:
                 self.block_stack[-1].n_links += 1
         if self.block_stack:
             self.block_stack[-1].n_tags += 1
-        if tag in BLOCK_TAGS:
+        if is_block:
             b = Block(
                 tag=tag,
                 _stack=tuple(self.stack),
@@ -181,21 +194,22 @@ class _BlockParser(HTMLParser):
             self.block_stack.append(b)
 
     def handle_endtag(self, tag):
-        if tag in VOID_TAGS:
+        flags = _TAG_FLAGS.get(tag, _NO_FLAGS)
+        if flags[4]:  # void
             return
         # unwind to the matching open tag (tolerates malformed nesting)
         while self.stack:
-            top = self.stack.pop()
-            top_tag = top.rstrip("!")
-            if top.endswith("!"):
+            top_tag, marked = self.stack.pop()
+            is_block, is_skip, is_head, _ib, _iv = _TAG_FLAGS.get(top_tag, _NO_FLAGS)
+            if marked:
                 self.boiler_depth -= 1
-            if top_tag in SKIP_TAGS:
+            if is_skip:
                 self.skip_depth -= 1
-            if top_tag in HEAD_TAGS:
+            if is_head:
                 self.head_depth -= 1
             if top_tag == "a":
                 self.link_depth = max(0, self.link_depth - 1)
-            if top_tag in BLOCK_TAGS and self.block_stack:
+            if is_block and self.block_stack:
                 b = self.block_stack.pop()
                 if b.finalize(self._path_cache):
                     self.blocks.append(b)
@@ -216,7 +230,7 @@ class _BlockParser(HTMLParser):
 
     def close_all(self):
         while self.stack:
-            self.handle_endtag(self.stack[-1].rstrip("!"))
+            self.handle_endtag(self.stack[-1][0])
 
 
 # --- fast tokenizer ---------------------------------------------------------
