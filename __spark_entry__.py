@@ -146,16 +146,23 @@ def _q_blocklist_counts(spark, sf_dir):
 def _q_incremental_dedup(spark, sf_dir):
     """Daily-batch dedup against a persisted corpus index: docs 0-249 are
     'history', docs 250+ are the new batch; new docs sharing an LSH band
-    with history are dropped. Summary counts (kept/dropped + chars kept)."""
+    with history are dropped. One row carrying BOTH the survivor summary
+    (kept docs + chars) and the drop observability stats ('no silent caps'
+    — the dedup_incremental_stats channel, hash-checked against the same
+    DuckDB band math). The new batch's band index is computed ONCE and
+    shared by the dedup and the stats (no double MinHash pass)."""
     d = _t(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") < 250)
     new = d.filter(F.col("doc_id") >= 250)
     idx = dd.band_index(history)
-    kept = dd.dedup_incremental(new, idx)
-    return kept.agg(
+    nb = dd.band_index(new).persist()
+    kept = dd.dedup_incremental(new, idx, new_bands=nb)
+    stats = dd.dedup_incremental_stats(new, idx, new_bands=nb).withColumn("_k", F.lit(1))
+    kept_agg = kept.agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
-    )
+    ).withColumn("_k", F.lit(1))
+    return stats.join(kept_agg, "_k").drop("_k")
 
 
 PII_FIXTURES = [
@@ -200,20 +207,6 @@ def _q_quota_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     s = hash_quota_sample(d, "source", n_per_stratum=20, key_col="doc_id", seed=42)
     return s.select("source", "doc_id").orderBy("source", "doc_id")
-
-
-def _q_hash_split_counts(spark, sf_dir):
-    """Contamination-proof train/val/test split (hash-bucket membership,
-    map-only): doc counts + char sums per split per language."""
-    from invoice_extraction_spark.operators.sampling import hash_split
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        hash_split(d, key_col="doc_id", val_pct=10, test_pct=10, seed=42)
-        .groupBy("lang", "split")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
-        .orderBy("lang", "split")
-    )
 
 
 def _q_cross_doc_contamination(spark, sf_dir):
@@ -353,21 +346,6 @@ def _q_events_severity(spark, sf_dir):
     )
 
 
-def _q_events_binned(spark, sf_dir):
-    """A8 analog: bucket metric into bins, count + mean per bin."""
-    ev = _t(spark, sf_dir, "events")
-    b = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(5))
-    return (
-        ev.select(b.alias("value_bin"), "value")
-        .groupBy("value_bin")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"), 4).alias("avg_value"),
-        )
-        .orderBy("value_bin")
-    )
-
-
 def _q_top5_event_types(spark, sf_dir):
     """A6/W3 analog: error-frequency top-5."""
     ev = _t(spark, sf_dir, "events")
@@ -434,23 +412,6 @@ def _q_revenue_top_customers(spark, sf_dir):
     )
 
 
-def _q_region_customer_counts(spark, sf_dir):
-    """Broadcast snowflake join: customers + acctbal per region."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
-        )
-        .orderBy("r_name")
-    )
-
-
 def _q_order_priority_by_status(spark, sf_dir):
     """Multi-dim agg + distinct count (A10/A11 analog)."""
     o = _t(spark, sf_dir, "orders")
@@ -513,17 +474,27 @@ def _q_field_regex_docs(spark, sf_dir):
     )
 
 
-def _q_orders_rollup(spark, sf_dir):
-    """Grouping-sets family (SURVEY.md §2.4 'rollup/cube'): status x priority
-    rollup with subtotals and grand total."""
-    o = _t(spark, sf_dir, "orders")
+def _q_lang_source_cube(spark, sf_dir):
+    """Grouping-sets family (SURVEY.md §2.4 'rollup/cube', the reference
+    EDA notebook's multi-dim breakdowns — IntelliExtract_EDA_Analysis.ipynb
+    cells 8-16): lang x source CUBE over the document corpus. CUBE's
+    grouping sets are a strict superset of ROLLUP's (the round-2 query), so
+    this covers both; the '<all>' sentinel disambiguates subtotal rows from
+    (non-existent here) NULL dimension values."""
+    d = _t(spark, sf_dir, "documents")
     return (
-        o.rollup("o_orderstatus", "o_orderpriority")
+        d.cube("lang", "source")
         .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang", "source")
     )
 
 
@@ -586,12 +557,27 @@ def _q_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(e, qv, k=10, centroids=FROZEN_IVF_CENTROIDS, n_probe=2)
 
 
+N_EMB_BUCKET_CAP = 48  # deliberately below sf0.01's largest bucket (51) so
+# the hot-bucket cap path is EXERCISED by the driver check, not just present
+# (ADVICE r2: a cap the test data never triggers is checked semantics-free).
+
+
 def _q_embedding_topk_pairs(spark, sf_dir):
     """Embedding-cosine near-dup candidates: top-20 highest-cosine pairs
     among vectors sharing a sign-LSH bucket (the dedup-by-embedding family;
-    bucket prune before any distance math)."""
+    bucket prune before any distance math). Hot buckets above the cap are
+    excluded from the self-join — the DuckDB twin models the SAME cap, so
+    the hash check covers the capped semantics."""
     e = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_topk_pairs(e, k=20, n_planes=4)
+    return sim.embedding_topk_pairs(e, k=20, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP)
+
+
+def _q_embedding_bucket_stats(spark, sf_dir):
+    """Embedding-LSH observability ('no silent caps'): bucket count, hot
+    buckets above the cap (excluded from pair generation), vectors inside
+    them, and the largest bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_bucket_stats(e, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP)
 
 
 N_MEDIA = 64
@@ -812,7 +798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "pii_scrub": _q_pii_scrub,
         "quota_sample": _q_quota_sample,
-        "hash_split_counts": _q_hash_split_counts,
         "repetition_scores": _q_repetition_scores,
         "repetition_filter_counts": _q_repetition_filter_counts,
         "exact_dedup": _q_exact_dedup,
@@ -823,22 +808,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "centroid_topk_per_label": _q_centroid_topk_per_label,
         "events_severity": _q_events_severity,
-        "events_binned": _q_events_binned,
         "top5_event_types": _q_top5_event_types,
         "user_sessions": _q_user_sessions,
         "pricing_summary": _q_pricing_summary,
         "revenue_top_customers": _q_revenue_top_customers,
-        "region_customer_counts": _q_region_customer_counts,
         "order_priority_by_status": _q_order_priority_by_status,
         "stream_union_distinct": _q_stream_union_distinct,
         "best_order_per_customer": _q_best_order_per_customer,
         "field_regex_docs": _q_field_regex_docs,
-        "orders_rollup": _q_orders_rollup,
+        "lang_source_cube": _q_lang_source_cube,
         "argmax_event_user": _q_argmax_event_user,
         "asof_prev_purchase": _q_asof_prev_purchase,
         "lsh_topk_bucket": _q_lsh_topk_bucket,
         "ivf_topk": _q_ivf_topk,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
+        "embedding_bucket_stats": _q_embedding_bucket_stats,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "lsh_band_stats": _q_lsh_band_stats,
@@ -1181,12 +1165,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
                 UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
                 UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            newb AS (SELECT doc_id, band FROM bands WHERE doc_id >= 250),
             hist AS (SELECT DISTINCT band FROM bands WHERE doc_id < 250),
-            dropped AS (SELECT DISTINCT doc_id FROM bands
-                        WHERE doc_id >= 250 AND band IN (SELECT band FROM hist))
-            SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
-            FROM documents WHERE doc_id >= 250
-              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+            hits AS (SELECT doc_id, band FROM newb
+                     WHERE band IN (SELECT band FROM hist)),
+            per_band AS (SELECT band, COUNT(DISTINCT doc_id) AS nd
+                         FROM hits GROUP BY band),
+            kept AS (SELECT COUNT(*) AS n_kept,
+                            CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+                     FROM documents WHERE doc_id >= 250
+                       AND doc_id NOT IN (SELECT DISTINCT doc_id FROM hits))
+            SELECT (SELECT COUNT(DISTINCT doc_id) FROM newb) AS n_new_docs,
+                   (SELECT COUNT(DISTINCT band) FROM newb) AS n_new_bands,
+                   (SELECT COUNT(DISTINCT doc_id) FROM hits) AS n_dropped_docs,
+                   (SELECT COUNT(*) FROM per_band) AS n_hit_bands,
+                   CAST((SELECT COALESCE(MAX(nd), 0) FROM per_band) AS BIGINT)
+                       AS max_dropped_per_band,
+                   n_kept, kept_chars
+            FROM kept
         """,
         "pii_scrub": _pii_scrub_sql(),
         "quota_sample": """
@@ -1195,16 +1191,6 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
                        FROM documents)
             SELECT source, doc_id FROM r WHERE rk <= 20 ORDER BY source, doc_id
-        """,
-        "hash_split_counts": """
-            WITH s AS (SELECT lang, n_chars,
-                       CAST(CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
-                            ELSE 'train' END AS VARCHAR) AS split
-                       FROM (SELECT lang, n_chars,
-                             CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS BIGINT) AS b
-                             FROM documents))
-            SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
-            FROM s GROUP BY lang, split ORDER BY lang, split
         """,
         "cross_doc_contamination": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1275,9 +1261,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
                 UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
                 UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
-                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig)
+                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            -- hot-band cap modeled to match the engine's max_band_size=64
+            -- (ADVICE r3: capped engine vs uncapped oracle would silently
+            -- diverge on data with a degenerate band)
+            okb AS (SELECT band FROM (SELECT band, COUNT(DISTINCT doc_id) AS n
+                                      FROM bands GROUP BY band) WHERE n <= 64)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.band IN (SELECT band FROM okb)
             ORDER BY id_a, id_b
         """,
         "simhash_bands": """
@@ -1327,12 +1319,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1 ORDER BY severity
         """,
-        "events_binned": """
-            SELECT least(CAST(FLOOR(value / 50) AS INT), 5) AS value_bin,
-                   COUNT(*) AS n,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
-            FROM events GROUP BY 1 ORDER BY value_bin
-        """,
         "top5_event_types": """
             SELECT event_type, COUNT(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
@@ -1367,13 +1353,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 10
         """,
-        "region_customer_counts": """
-            SELECT r_name, COUNT(*) AS n_customers,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-                 JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name ORDER BY r_name
-        """,
         "order_priority_by_status": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                    COUNT(DISTINCT o_custkey) AS n_customers,
@@ -1401,11 +1380,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN regexp_matches(text, 'customer') THEN 1 ELSE 0 END) AS BIGINT) AS n_customer
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        "orders_rollup": """
-            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-            ORDER BY o_orderstatus, o_orderpriority
+        "lang_source_cube": """
+            SELECT COALESCE(lang, '<all>') AS lang,
+                   COALESCE(source, '<all>') AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE(lang, source)
+            ORDER BY lang, source
         """,
         "argmax_event_user": """
             SELECT event_type,
@@ -1454,20 +1435,40 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT band, COUNT(DISTINCT doc_id) AS n FROM bands GROUP BY band)
             SELECT COUNT(*) AS n_bands,
                    CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_hot_bands,
-                   CAST(SUM(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_hot_bands,
+                   CAST(SUM(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT) AS n_memberships_in_hot_bands,
                    CAST(MAX(n) AS INT) AS max_band_size
             FROM sizes
         """,
         "embedding_topk_pairs": f"""
-            WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                       {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
-                       FROM embeddings)
+            WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                        {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+                        FROM embeddings),
+            -- hot-bucket cap modeled to match the engine's
+            -- max_bucket_size={N_EMB_BUCKET_CAP} (exercised: sf0.01's
+            -- largest bucket exceeds the cap)
+            cold AS (SELECT bucket FROM (SELECT bucket, COUNT(*) AS n
+                                         FROM b0 GROUP BY bucket)
+                     WHERE n <= {N_EMB_BUCKET_CAP}),
+            b AS (SELECT * FROM b0 WHERE bucket IN (SELECT bucket FROM cold))
             SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                    ROUND(list_dot_product(a.e, c.e)
                        / (sqrt(list_dot_product(a.e, a.e))
                         * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+        """,
+        "embedding_bucket_stats": f"""
+            WITH b AS (SELECT vec_id,
+                       {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+                       FROM embeddings),
+            sizes AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+            SELECT COUNT(*) AS n_buckets,
+                   CAST(SUM(CASE WHEN n > {N_EMB_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped_hot_buckets,
+                   CAST(SUM(CASE WHEN n > {N_EMB_BUCKET_CAP} THEN n ELSE 0 END) AS BIGINT)
+                       AS n_vecs_in_hot_buckets,
+                   CAST(MAX(n) AS BIGINT) AS max_bucket_size
+            FROM sizes
         """,
         "value_percentiles": """
             SELECT event_type,
@@ -1483,8 +1484,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
                 UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
                 UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+            okb AS (SELECT band FROM (SELECT band, COUNT(DISTINCT doc_id) AS n
+                                      FROM bands GROUP BY band) WHERE n <= 64),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+                     WHERE a.band IN (SELECT band FROM okb)),
             jac AS (SELECT id_a, id_b,
                     ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                         / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
@@ -1496,13 +1500,25 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_survivors": _SHINGLES_CTE
         + f"""
             , sig AS (SELECT doc_id, {band_sig} FROM sh),
+            -- exact dedup FIRST (keep min doc_id per identical text), then
+            -- LSH over the exact survivors — mirrors dedup_near exactly,
+            -- including the hot-band cap on the survivor bands
+            exdrop AS (SELECT doc_id FROM (
+                       SELECT doc_id, row_number() OVER
+                           (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                       FROM documents) WHERE rn > 1),
             bands AS (
-                SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
-                UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
-                UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
-                UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig),
+                SELECT doc_id, band FROM (
+                    SELECT doc_id, md5('0|' || s0 || ',' || s1) AS band FROM sig
+                    UNION ALL SELECT doc_id, md5('1|' || s2 || ',' || s3) FROM sig
+                    UNION ALL SELECT doc_id, md5('2|' || s4 || ',' || s5) FROM sig
+                    UNION ALL SELECT doc_id, md5('3|' || s6 || ',' || s7) FROM sig)
+                WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+            okb AS (SELECT band FROM (SELECT band, COUNT(DISTINCT doc_id) AS n
+                                      FROM bands GROUP BY band) WHERE n <= 64),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+                     WHERE a.band IN (SELECT band FROM okb)),
             jac AS (SELECT id_a, id_b,
                     len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
@@ -1511,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
             drop AS (SELECT DISTINCT id_b FROM jac WHERE ROUND(jaccard, 4) >= 0.5)
             SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
             FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drop)
+              AND doc_id NOT IN (SELECT doc_id FROM exdrop)
         """,
         "json_extract_props": """
             WITH j AS (SELECT event_type,

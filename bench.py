@@ -53,6 +53,12 @@ def _best_of(reps: int, fn) -> tuple[float, list[float]]:
     return min(walls), walls
 
 
+def _median(walls: list[float]) -> float:
+    s = sorted(walls)
+    n = len(s)
+    return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -84,13 +90,20 @@ def main():
     extract_wall, extract_walls = _best_of(reps, run_extract)
 
     queries = {"extract_pages_e2e": round(synth_wall + extract_wall, 3)}
+    query_walls = {"extract_pages": extract_walls}
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
         def run_q(name=name):
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-        queries[name], _ = _best_of(reps, run_q)
+        queries[name], query_walls[name] = _best_of(reps, run_q)
 
+    # dispersion across reps (VERDICT r2 #8: best-of is the headline — the
+    # host is shared and noisy — but per-rep walls + medians make the
+    # protocol auditable)
+    spread = max(
+        (max(w) / max(min(w), 1e-9)) for w in query_walls.values() if len(w) > 1
+    )
     result = {
         "metric": "extract_wall",
         "value": extract_wall,
@@ -101,6 +114,14 @@ def main():
         "synth_wall": synth_wall,
         "extract_wall": extract_wall,
         "extract_walls": extract_walls,
+        "extract_wall_median": _median(extract_walls),
+        "query_walls": query_walls,
+        "query_medians": {k: _median(v) for k, v in query_walls.items()},
+        "max_rep_spread": round(spread, 2),
+        "dispersion_note": (
+            "best-of-%d headline on a shared noisy host (worst/best rep "
+            "spread %.1fx this run); medians reported alongside" % (reps, spread)
+        ),
         "reps": reps,
         "pages_per_sec": round(n_pages / extract_wall, 1),
         "cpus": cpus,

@@ -92,7 +92,16 @@ def fuzzy_join(
     name.
     """
     dim_rows = dim.collect()
-    assert len(dim_rows) <= MAX_DIM_ROWS, "fuzzy_join dim must be a small master list"
+    if len(dim_rows) > MAX_DIM_ROWS:
+        # ValueError, not assert: python -O strips asserts, and an oversized
+        # dim silently folded into a multi-thousand-literal Catalyst
+        # expression tree is exactly the plan-compile blowup this cap
+        # prevents (ADVICE r3).
+        raise ValueError(
+            f"fuzzy_join dim has {len(dim_rows)} rows; the literal-fold plan "
+            f"caps at MAX_DIM_ROWS={MAX_DIM_ROWS} — use a broadcast join + "
+            "pandas UDF scorer for larger master lists"
+        )
     dim_cols = dim.columns
     dim_types = dict(dim.dtypes)
     left_cols = df.columns

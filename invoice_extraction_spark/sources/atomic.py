@@ -372,10 +372,18 @@ def vacuum(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
         d = os.path.join(data_root, sub)
         if min_age_seconds and now - os.path.getmtime(d) < min_age_seconds:
             continue
-        entries = os.listdir(d)
-        has_live = any(os.path.join(d, f) in live for f in entries)
-        for f in entries:
-            p = os.path.join(d, f)
+        # Partitioned commits (commit_append(partition_by=...)) nest their
+        # parquet under hive dirs (lang=xx/...), so liveness and deletion
+        # must walk the FULL nested tree and compare full paths — a
+        # top-level-only listing classifies live partitioned data as dead
+        # and tries to unlink() directories (ADVICE r3 high).
+        all_files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(d)
+            for f in fs
+        ]
+        has_live = any(p in live for p in all_files)
+        for p in all_files:
             if p in live:
                 continue
             if p.endswith(".parquet") or not has_live:
@@ -384,8 +392,11 @@ def vacuum(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
                 os.unlink(p)
                 if p.endswith(".parquet"):
                     deleted.append(p)
-        if not os.listdir(d):
-            os.rmdir(d)
+        # prune dirs that are now empty, leaves first; dirs still holding a
+        # live file (or its parents) are skipped by the emptiness check
+        for root, _dirs, _fs in os.walk(d, topdown=False):
+            if not os.listdir(root):
+                os.rmdir(root)
     return deleted
 
 

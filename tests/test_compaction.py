@@ -42,3 +42,29 @@ def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
 
     # old data files still on disk (GC is separate), but ignored by readers
     assert os.path.isdir(os.path.join(tbl, "data"))
+
+
+def test_vacuum_after_partitioned_commit(spark, tmp_path):
+    """vacuum must walk hive-partitioned snapshot dirs recursively: liveness
+    compares FULL nested paths (ADVICE r3 high — the top-level-only listing
+    classified live partitioned data as dead and unlink()ed the lang=xx
+    directory itself)."""
+    from invoice_extraction_spark.sources.atomic import vacuum
+
+    tbl = str(tmp_path / "pt")
+    src = spark.createDataFrame(pages_pdf(20))
+    commit_append(extract_pages(src), tbl, run_id="p0", partition_by=["lang"])
+    n = read_table(spark, tbl).count()
+
+    # only live (partitioned) data: vacuum deletes nothing, table intact
+    assert vacuum(tbl) == []
+    assert read_table(spark, tbl).count() == n
+
+    # compaction supersedes the partitioned snapshot: vacuum must collect the
+    # NESTED parquet files without crashing, and leave the live base alone
+    compact(spark, tbl, target_files=1)
+    deleted = vacuum(tbl)
+    assert deleted and all(p.endswith(".parquet") for p in deleted)
+    assert any(os.sep + "lang=" in p for p in deleted)  # nested files found
+    assert read_table(spark, tbl).count() == n
+    assert vacuum(tbl) == []  # idempotent

@@ -102,3 +102,42 @@ def test_ivf_literal_plan_is_pure_column(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_hot_bucket_cap_bounds_pairs(spark):
+    """Pathological corpus (VERDICT r2 'What's wrong' #1): hundreds of
+    sign-identical vectors land in ONE bucket; uncapped, the bucket self-join
+    emits O(n^2) pairs that no AQE skew split shrinks. The cap excludes the
+    hot bucket (bounded output) while cold buckets still pair normally."""
+    import pandas as pd
+
+    from invoice_extraction_spark.operators.similarity import (
+        embedding_bucket_stats,
+        embedding_topk_pairs,
+    )
+
+    n_hot, n_cold = 500, 10
+    rows = [(i, [1.0] * 8) for i in range(n_hot)]
+    # same direction => same sign bucket; opposite direction => other bucket
+    rows += [(n_hot + i, [-1.0 - 0.01 * i] * 8) for i in range(n_cold)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    got = embedding_topk_pairs(
+        df, k=10**6, n_planes=2, dim=8, max_bucket_size=64
+    ).collect()
+    # only the cold bucket pairs survive: C(10,2), never O(500^2)
+    assert len(got) == n_cold * (n_cold - 1) // 2
+    assert all(r["id_a"] >= n_hot and r["id_b"] >= n_hot for r in got)
+
+    s = embedding_bucket_stats(df, n_planes=2, dim=8, max_bucket_size=64).first()
+    assert s["n_buckets"] == 2
+    assert s["n_dropped_hot_buckets"] == 1
+    assert s["n_vecs_in_hot_buckets"] == n_hot
+    assert s["max_bucket_size"] == n_hot
+
+    # uncapped path still available for small corpora / matching an
+    # uncapped oracle
+    unc = embedding_topk_pairs(
+        df.filter("vec_id >= 498"), k=10**6, n_planes=2, dim=8, max_bucket_size=None
+    ).collect()
+    assert len(unc) == 1 + n_cold * (n_cold - 1) // 2  # (498,499) + cold pairs
