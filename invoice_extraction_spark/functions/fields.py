@@ -134,12 +134,28 @@ def best_span(cands: list[Span]) -> Span | None:
     return min(cands, key=lambda s: (-s.conf, s.start))
 
 
+def first_span(text: str, name: str) -> Span | None:
+    """Early-exit equivalent of ``best_span(field_candidates(text, name))``
+    (equality-asserted in test_fields): per-field confidences are strictly
+    decreasing down the pattern list, and ``finditer`` yields matches in
+    start order — so the argmax is exactly the first non-empty match of the
+    first pattern that fires. Skipping the lower-priority full-text scans
+    once a higher-priority anchor hits was ~2x on extract_fields (round 3;
+    the hot path after the parser rewrite)."""
+    for pat, conf, method in _FIELD_PATTERNS[name]:
+        for m in pat.finditer(text):
+            v = m.group(1).strip()
+            if v:
+                return Span(v, m.start(1), m.start(1) + len(m.group(1)), conf, method)
+    return None
+
+
 def extract_fields(text: str) -> dict[str, Span | None]:
     """Best span per field over extracted_text (7 fields, possibly None)."""
     tl = text.lower()
     return {
         name: (
-            best_span(field_candidates(text, name))
+            first_span(text, name)
             if any(s in tl for s in _SCREENS[name])
             else None
         )

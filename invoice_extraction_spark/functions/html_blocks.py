@@ -73,10 +73,12 @@ DATA_CELL_TAGS = frozenset({"td", "th", "dt", "dd"})
 MIN_CELL_CHARS = 2
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One DOM text block — the analog of an OCR detection struct
-    (``{text, bbox, confidence, source}``, ocr.py:89-97)."""
+    (``{text, bbox, confidence, source}``, ocr.py:89-97). ``slots=True``:
+    blocks are created ~30/page in the hot loop and their attributes are
+    read in every classifier — slot access beats dict access measurably."""
 
     idx: int = -1
     tag: str = ""
@@ -98,7 +100,10 @@ class Block:
 
     def finalize(self, path_cache: dict | None = None) -> bool:
         raw = "".join(self._chunks)
-        self.text = unicodedata.normalize("NFC", " ".join(raw.split()))
+        t = " ".join(raw.split())
+        # NFC is the identity on ASCII and str.isascii() is a C-speed scan —
+        # the overwhelmingly common all-ASCII block skips the normalizer
+        self.text = t if t.isascii() else unicodedata.normalize("NFC", t)
         if not self.text:
             return False
         # tag_path lazily, and memoized per parse: template pages repeat the
@@ -107,15 +112,18 @@ class Block:
         if path_cache is not None:
             p = path_cache.get(self._stack)
             if p is None:
-                p = "/".join(t for t, _m in self._stack)
+                p = "/".join(e[0] for e in self._stack)
                 path_cache[self._stack] = p
             self.tag_path = p
         else:
-            self.tag_path = "/".join(t for t, _m in self._stack)
+            self.tag_path = "/".join(e[0] for e in self._stack)
         self.n_chars = len(self.text)
         self.n_tokens = len(self.text.split(" "))
         link_raw = "".join(self._link_chunks)
-        self.link_chars = len(unicodedata.normalize("NFC", " ".join(link_raw.split())))
+        lr = " ".join(link_raw.split())
+        self.link_chars = len(lr) if lr.isascii() else len(
+            unicodedata.normalize("NFC", lr)
+        )
         self.link_density = self.link_chars / self.n_chars
         self.text_density = self.n_chars / (1.0 + self.n_tags)
         self.is_content = (
@@ -143,7 +151,11 @@ _TAG_FLAGS: dict = {
 class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.stack: list = []  # (tag, boiler_marked) pairs, open tags
+        # open tags: (tag, boiler_marked, is_skip, is_head, is_block) —
+        # classification flags are resolved ONCE at open and travel with the
+        # stack entry, so the endtag unwind (hottest loop after the
+        # tokenizer) never re-probes the flags dict
+        self.stack: list = []
         self.block_stack: list[Block] = []
         self.blocks: list[Block] = []
         self.skip_depth = 0
@@ -168,7 +180,7 @@ class _BlockParser(HTMLParser):
         if is_void:
             return
         marked = is_boiler_tag or (bool(attrs) and self._is_boiler_attrs(attrs))
-        self.stack.append((tag, marked))
+        self.stack.append((tag, marked, is_skip, is_head, is_block))
         if is_skip:
             self.skip_depth += 1
         if is_head:
@@ -199,8 +211,7 @@ class _BlockParser(HTMLParser):
             return
         # unwind to the matching open tag (tolerates malformed nesting)
         while self.stack:
-            top_tag, marked = self.stack.pop()
-            is_block, is_skip, is_head, _ib, _iv = _TAG_FLAGS.get(top_tag, _NO_FLAGS)
+            top_tag, marked, is_skip, is_head, is_block = self.stack.pop()
             if marked:
                 self.boiler_depth -= 1
             if is_skip:
@@ -220,7 +231,7 @@ class _BlockParser(HTMLParser):
         if self.skip_depth > 0 or not self.block_stack:
             return
         b = self.block_stack[-1]
-        if data.strip():
+        if data and not data.isspace():  # == data.strip(), sans the copy
             if b.order == -1:
                 b.order = self.data_counter
             self.data_counter += 1
@@ -270,42 +281,137 @@ def _parse_attrs(attr_str: str):
     return out
 
 
-def _feed_fast(p: _BlockParser, html: str) -> None:
+def _parse_fast(html: str) -> list[Block]:
+    """Single-pass tokenizer + block builder with all parser state in locals
+    (round 3 — NOTES.md hotspot: the per-token handle_* callback dispatch and
+    their ``self.`` attribute traffic were ~45% of kernel time after the
+    round-2 wins). Semantics are EXACTLY ``_BlockParser`` driven by the regex
+    tokenizer; the stdlib ``html.parser`` + ``_BlockParser`` path remains the
+    reference implementation, and block-for-block equivalence on corpus,
+    edge cases, and hypothesis tag soup is asserted in
+    tests/test_fast_tokenizer.py (plus the byte-identical goldens)."""
+    stack: list = []  # (tag, marked, is_skip, is_head, is_block)
+    block_stack: list[Block] = []
+    blocks: list[Block] = []
+    skip_depth = head_depth = boiler_depth = link_depth = 0
+    data_counter = 0
+    path_cache: dict = {}
+    tag_flags = _TAG_FLAGS
+    no_flags = _NO_FLAGS
+    boiler_tokens = BOILER_ATTR_TOKENS
+    search = _TOK.search
+    unescape = _unescape
+
+    def unwind(tag: str) -> None:
+        # mirror of _BlockParser.handle_endtag's tolerant unwind
+        nonlocal skip_depth, head_depth, boiler_depth, link_depth
+        while stack:
+            top_tag, marked, is_skip, is_head, is_block = stack.pop()
+            if marked:
+                boiler_depth -= 1
+            if is_skip:
+                skip_depth -= 1
+            if is_head:
+                head_depth -= 1
+            if top_tag == "a":
+                link_depth = max(0, link_depth - 1)
+            if is_block and block_stack:
+                b = block_stack.pop()
+                if b.finalize(path_cache):
+                    blocks.append(b)
+            if top_tag == tag:
+                break
+
     pos = 0
     lower = None  # lazily lowered copy for rawtext close-tag search
     n = len(html)
     while pos < n:
-        m = _TOK.search(html, pos)
+        m = search(html, pos)
         if m is None:
             data = html[pos:]
-            if data:
-                p.handle_data(_unescape(data) if "&" in data else data)
+        else:
+            start = m.start()
+            data = html[pos:start] if start > pos else None
+        if data and skip_depth == 0 and block_stack:
+            # handle_data inlined (hottest callback). unescape-before-space-
+            # check order preserved: &nbsp; unescapes to \xa0 which IS space.
+            if "&" in data:
+                data = unescape(data)
+            b = block_stack[-1]
+            if not data.isspace():
+                if b.order == -1:
+                    b.order = data_counter
+                data_counter += 1
+            b._chunks.append(data)
+            if link_depth > 0:
+                b._link_chunks.append(data)
+        if m is None:
             break
-        if m.start() > pos:
-            data = html[pos : m.start()]
-            p.handle_data(_unescape(data) if "&" in data else data)
         pos = m.end()
         end_tag, start_tag, attr_str, self_close = m.group(1, 2, 3, 4)
         if end_tag is not None:
-            p.handle_endtag(end_tag.lower())
+            tag = end_tag.lower()
+            if not tag_flags.get(tag, no_flags)[4]:  # void close: dropped
+                unwind(tag)
         elif start_tag is not None:
             tag = start_tag.lower()
-            al = attr_str.lower() if attr_str else ""
-            attrs = (
-                _parse_attrs(attr_str)
-                if ("id" in al or "class" in al or "role" in al)
-                else []
+            is_block, is_skip, is_head, is_boiler_tag, is_void = tag_flags.get(
+                tag, no_flags
             )
-            p.handle_starttag(tag, attrs)
+            if not is_void:
+                # handle_starttag inlined
+                marked = is_boiler_tag
+                if not marked and attr_str:
+                    al = attr_str.lower()
+                    if "id" in al or "class" in al or "role" in al:
+                        for k, v in _parse_attrs(attr_str):
+                            if k in ("id", "class", "role") and v:
+                                for tok in (
+                                    v.replace("-", " ").replace("_", " ").lower().split()
+                                ):
+                                    if tok in boiler_tokens:
+                                        marked = True
+                                        break
+                                if marked:
+                                    break
+                stack.append((tag, marked, is_skip, is_head, is_block))
+                if is_skip:
+                    skip_depth += 1
+                if is_head:
+                    head_depth += 1
+                if marked:
+                    boiler_depth += 1
+                if tag == "a":
+                    link_depth += 1
+                    if block_stack:
+                        block_stack[-1].n_links += 1
+                if block_stack:
+                    block_stack[-1].n_tags += 1
+                if is_block:
+                    block_stack.append(
+                        Block(
+                            tag=tag,
+                            _stack=tuple(stack),
+                            region=(
+                                "head"
+                                if head_depth > 0
+                                else ("boiler" if boiler_depth > 0 else "body")
+                            ),
+                        )
+                    )
             if self_close and tag not in VOID_TAGS:
-                p.handle_endtag(tag)
-            elif tag in _CDATA_CONTAINERS and not self_close:
+                unwind(tag)
+            elif not self_close and (tag == "script" or tag == "style"):
+                # rawtext containers: content is skipped (skip_depth>0
+                # anyway); jump straight past the close tag
                 if lower is None:
                     lower = html.lower()
                 close = lower.find(f"</{tag}", pos)
-                # raw content is skipped (skip_depth>0 anyway); jump past it
                 pos = close if close != -1 else n
         # comments / doctypes / processing instructions: dropped
+    while stack:  # close_all
+        unwind(stack[-1][0])
+    return blocks
 
 
 def parse_blocks(html: bytes | str, fast: bool = True) -> list[Block]:
@@ -321,18 +427,21 @@ def parse_blocks(html: bytes | str, fast: bool = True) -> list[Block]:
         html = bytes(html[:MAX_HTML_BYTES]).decode("utf-8", errors="replace")
     else:
         html = html[:MAX_HTML_BYTES]
-    p = _BlockParser()
-    try:
-        if fast:
-            _feed_fast(p, html)
-        else:
+    if fast:
+        try:
+            blocks = _parse_fast(html)
+        except Exception:  # degrade to the battle-tested stdlib tokenizer
+            return parse_blocks(html, fast=False)
+    else:
+        p = _BlockParser()
+        try:
             p.feed(html)
             p.close()
-    except Exception:
-        if fast:  # degrade to the battle-tested stdlib tokenizer
-            return parse_blocks(html, fast=False)
-    p.close_all()
-    blocks = sorted(p.blocks, key=lambda b: b.order)
+        except Exception:
+            pass  # keep whatever parsed; close_all salvages open blocks
+        p.close_all()
+        blocks = p.blocks
+    blocks = sorted(blocks, key=lambda b: b.order)
     for i, b in enumerate(blocks):
         b.idx = i
     return blocks

@@ -100,3 +100,32 @@ def test_spans_always_index_into_text(text):
         if s is not None:
             assert text[s.start : s.end] == s.value, (name, s)
             assert s.value.strip() == s.value
+
+
+def test_first_span_equals_best_of_all_candidates():
+    """first_span is the hot-path shortcut; it must equal the reference-shape
+    argmax over the FULL candidate list on every corpus page and on crafted
+    edge cases (empty-strip matches, multi-hit anchors, fallback-only hits)."""
+    from invoice_extraction_spark.corpus import synth_pages
+    from invoice_extraction_spark.functions.fields import (
+        FIELD_NAMES,
+        best_span,
+        field_candidates,
+        first_span,
+    )
+    from invoice_extraction_spark.functions.html_blocks import extract_text
+
+    cases = [extract_text(p["html"]) for p in synth_pages(150)]
+    cases += [
+        "Invoice No: INV-123456\nTotal: 45,000\nINV-999999 later",
+        "Dated: 01/02/2021 and Invoice Date: 02/03/2022",  # lower conf first in text
+        "Total:    \nGrand Total: ₹12,345",  # anchor later than weak anchor
+        "Sold By:    \nSold By: KISAN TRACTORS",  # empty-strip first match
+        "no fields at all here",
+        "₹99,999 currency-only fallback",
+    ]
+    for text in cases:
+        for name in FIELD_NAMES:
+            assert first_span(text, name) == best_span(
+                field_candidates(text, name)
+            ), (name, text[:80])

@@ -1,0 +1,80 @@
+"""Interactive surface (jobs/serve.py — the reference's Streamlit entry
+point E3, app.py:196-368): the HTTP console must run the SAME pipeline as
+batch and return identical field values for the same page."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.corpus import pages_pdf
+from invoice_extraction_spark.operators.extract import extract_pages
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from jobs.serve import serve
+
+    httpd = serve(spark, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_form_served(server):
+    with urllib.request.urlopen(f"{server}/") as r:
+        body = r.read().decode()
+    assert "spark-webtext-extract" in body and "<form" in body
+
+
+def test_api_matches_batch_pipeline(spark, server):
+    page = pages_pdf(3).iloc[2]
+    req = urllib.request.Request(
+        f"{server}/api", data=bytes(page["html"]), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+
+    batch = (
+        extract_pages(spark.createDataFrame(pages_pdf(3)), num_partitions=2)
+        .filter(F.col("url") == page["url"])
+        .first()
+    )
+    assert got["extracted_text"] == batch["extracted_text"]
+    assert got["n_fields_found"] == batch["n_fields_found"]
+    assert got["confidence"] == batch["confidence"]
+    assert got["total_amount"] == batch["total_amount"]
+    fields = {k: (v or {}).get("value") for k, v in got["fields"].items()}
+    want = {k: v["value"] if v else None for k, v in batch["fields"].asDict().items()}
+    assert fields == want
+
+
+def test_extract_renders_html(server):
+    page = pages_pdf(1).iloc[0]
+    boundary = "XBOUNDARYX"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="page"; filename="p.html"\r\n'
+        "Content-Type: text/html\r\n\r\n"
+    ).encode() + bytes(page["html"]) + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"{server}/extract",
+        data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        html_out = r.read().decode()
+    assert "confidence" in html_out and "<table" in html_out
+
+
+def test_empty_post_is_400(server):
+    req = urllib.request.Request(f"{server}/api", data=b"  ", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
