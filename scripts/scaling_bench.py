@@ -129,6 +129,16 @@ limit is per-node bandwidth, which executors-per-node sizing controls.
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
 
+Round-over-round honesty note: round 3's kernel is 1.5x faster per core
+(round 2: 0.835 efficiency at 2,669 / 8,914 pages/s). Faster per-page
+compute shrinks the parallelizable share relative to fixed costs (scan,
+shuffle of extracted rows, scheduling), so efficiency dips slightly even
+as ABSOLUTE throughput rises at both levels — the classic Amdahl
+trade, visible and expected. Dispersion: the shared host shows up to 25x
+wall spread under neighbor load (see BENCH_r3 query_walls); scaling runs
+are interleaved lo/hi alternating processes and reported best-of so both
+levels sample the same load windows.
+
 Reference baseline (BASELINE.md): 0.034-0.038 docs/s single-threaded
 (26-29 s/invoice). This engine at local[{hi}]: {r_hi["pages_per_sec"]:.0f} pages/s —
 ~{r_hi["pages_per_sec"] / 0.036:.0f}x the reference's single-node throughput.
