@@ -215,6 +215,7 @@ def embedding_topk_pairs(
     id_col: str = "vec_id",
     dim: int = 64,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    sub_bucket_planes: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (task brief's
     'embedding-cosine near-dup' dedup family): the k highest-cosine pairs
@@ -236,14 +237,42 @@ def embedding_topk_pairs(
     worst-case pair output per bucket is bounded at cap^2/2 — and surfaced
     by ``embedding_bucket_stats`` ('no silent caps'). A dropped hot bucket
     is an exact/near-exact-dup cluster in disguise: route it to the hash
-    or MinHash dedup tier, which handles it at groupBy cost.
+    or MinHash dedup tier, which handles it at groupBy cost — or pass
+    ``sub_bucket_planes`` > 0 to REFINE hot buckets in place with extra
+    sign bits instead of dropping them (recall preserved for truly
+    near-identical vectors, fan-out shrunk ~2^sub_bucket_planes).
     """
     b = _bucketed(df, n_planes, seed, vec_col, id_col, dim)
     if max_bucket_size is not None:
         sizes = b.groupBy("bucket").agg(F.count("*").alias("_n"))
-        cold = sizes.filter(F.col("_n") <= max_bucket_size).select("bucket")
-        # <= 2^n_planes rows: always broadcastable
-        b = b.join(F.broadcast(cold), "bucket", "left_semi")
+        if sub_bucket_planes:
+            # refine INSTEAD of drop (the 'sub-bucket' option): vectors in
+            # hot buckets get sub_bucket_planes extra sign bits from a
+            # fresh seed appended to their key. Near-identical vectors
+            # agree on every extra bit, so near-dup recall inside the hot
+            # bucket is preserved, while DIVERSE vectors that merely shared
+            # the coarse bits spread over ~2^sub_bucket_planes sub-buckets.
+            # Caveat (why drop stays the default): a bucket of N truly
+            # IDENTICAL vectors cannot be split by more planes — its O(N^2)
+            # pair output is inherent, and the exact-dup hash tier is the
+            # right tool. Cold buckets keep their original key (no extra
+            # distance math).
+            extra = _hyperplanes(dim, sub_bucket_planes, seed + 1)
+            hot = sizes.filter(F.col("_n") > max_bucket_size).select("bucket")
+            is_hot = F.col("bucket").isin(
+                [r["bucket"] for r in hot.collect()]  # <= 2^n_planes literals
+            )
+            b = b.withColumn(
+                "bucket",
+                F.when(
+                    is_hot,
+                    F.concat(F.col("bucket"), lsh_bucket_expr(F.col("v"), extra)),
+                ).otherwise(F.col("bucket")),
+            )
+        else:
+            cold = sizes.filter(F.col("_n") <= max_bucket_size).select("bucket")
+            # <= 2^n_planes rows: always broadcastable
+            b = b.join(F.broadcast(cold), "bucket", "left_semi")
     pairs = b.alias("a").join(
         b.alias("b"),
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),

@@ -141,3 +141,53 @@ def test_embedding_hot_bucket_cap_bounds_pairs(spark):
         df.filter("vec_id >= 498"), k=10**6, n_planes=2, dim=8, max_bucket_size=None
     ).collect()
     assert len(unc) == 1 + n_cold * (n_cold - 1) // 2  # (498,499) + cold pairs
+
+
+def test_sub_bucket_refinement_splits_diverse_hot_bucket(spark):
+    """sub_bucket_planes refines a hot bucket instead of dropping it: diverse
+    vectors that merely shared the coarse sign bits spread across sub-buckets
+    (pair count collapses), while a genuinely near-identical pair planted in
+    the same hot bucket is still found (recall preserved)."""
+    import random
+
+    import pandas as pd
+
+    from invoice_extraction_spark.operators.similarity import (
+        _hyperplanes,
+        embedding_topk_pairs,
+    )
+
+    dim, n_planes = 8, 2
+    planes = _hyperplanes(dim, n_planes, seed=7)
+    rng = random.Random(3)
+
+    def in_bucket(v):  # all coarse bits '1'
+        return all(sum(w * x for w, x in zip(p, v)) >= 0 for p in planes)
+
+    # 60 DIVERSE vectors all landing in one coarse bucket
+    vecs = []
+    while len(vecs) < 60:
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        if in_bucket(v):
+            vecs.append(v)
+    # plus a planted near-identical pair (ids 1000, 1001) in the same bucket
+    base = vecs[0]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    rows += [(1000, base), (1001, [x * 1.0001 for x in base])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    # drop mode: the single hot bucket (62 > cap) is excluded -> zero pairs
+    dropped = embedding_topk_pairs(
+        df, k=10**6, n_planes=n_planes, dim=dim, max_bucket_size=32
+    ).collect()
+    assert dropped == []
+
+    # sub-bucket mode: refined keys split the diverse mass, planted pair kept
+    refined = embedding_topk_pairs(
+        df, k=10**6, n_planes=n_planes, dim=dim,
+        max_bucket_size=32, sub_bucket_planes=4,
+    ).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in refined}
+    assert (1000, 1001) in got_pairs  # identical-direction pair survives
+    # far fewer than the uncapped O(n^2) join (C(62,2) + 2*62 + 1 = 2016)
+    assert 0 < len(refined) < 800
