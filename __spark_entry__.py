@@ -155,6 +155,10 @@ def _q_incremental_dedup(spark, sf_dir):
     history = d.filter(F.col("doc_id") < 250)
     new = d.filter(F.col("doc_id") >= 250)
     idx = dd.band_index(history)
+    # deliberate tiny persist (k band rows per new doc, ~2k rows at sf0.01):
+    # shared by the dedup anti-join AND the stats agg below; lives for the
+    # one-shot driver query process (nothing to unpersist mid-plan — both
+    # consumers reference it lazily)
     nb = dd.band_index(new).persist()
     kept = dd.dedup_incremental(new, idx, new_bands=nb)
     stats = dd.dedup_incremental_stats(new, idx, new_bands=nb).withColumn("_k", F.lit(1))
