@@ -1,0 +1,104 @@
+"""URL canonicalization + host features — pure Column expressions.
+
+The web-pipeline siblings of text dedup: Common-Crawl-scale corpora dedup by
+CANONICAL url before ever hashing text (the same page is crawled under
+tracking-param, fragment, case and default-port variants), and per-host
+statistics drive crawl-politeness and boilerplate decisions. The reference
+has no analog (it ingests local image files); this family comes from the
+task brief's "operations a large-scale training-data pipeline would need".
+
+Everything here is regexp/array Column math — JVM-side, codegen-friendly,
+shuffle keys only ever the short canonical strings. No Python UDFs.
+
+Canonicalization rules (deliberately conservative — never merge two urls a
+server could distinguish, except the tracking params everyone strips):
+  - scheme + host lowercased; explicit default ports (:80 http, :443 https)
+    dropped
+  - fragment (#...) dropped — never sent to the server
+  - tracking params dropped: utm_*, fbclid, gclid, msclkid, ref, mc_cid,
+    mc_eid
+  - remaining query params SORTED by key (stable dedup key for permuted
+    params)
+  - trailing "/" on a bare path normalized ("http://h/" == "http://h")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+# scheme :// host[:port] [path] [?query] [#fragment]
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host with any port stripped ('' for unparseable urls)."""
+    host_port = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    return F.regexp_replace(host_port, r":\d+$", "")
+
+
+def url_registered_domain(url: Column | str) -> Column:
+    """Last two host labels ('example.co' style public-suffix nuances are out
+    of scope without a suffix list — documented approximation)."""
+    parts = F.split(url_host(url), r"\.")
+    n = F.size(parts)
+    return F.when(n >= 2, F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))).otherwise(
+        F.element_at(parts, -1)
+    )
+
+
+def _clean_query(query: Column) -> Column:
+    """Drop tracking params, sort the rest by key, re-join k=v with '&'."""
+    pairs = F.filter(F.split(query, "&"), lambda kv: kv != "")
+    is_tracking = lambda kv: (  # noqa: E731
+        F.lower(F.split(kv, "=")[0]).startswith(_TRACKING_PREFIXES[0])
+        | F.lower(F.split(kv, "=")[0]).isin(*_TRACKING_EXACT)
+    )
+    kept = F.filter(pairs, lambda kv: ~is_tracking(kv))
+    return F.concat_ws("&", F.array_sort(kept))
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form per the module rules; unparseable urls pass through
+    unchanged (never lose a row to normalization)."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    host_port = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host = F.when(
+        (scheme == "http") & host_port.endswith(":80"),
+        F.regexp_replace(host_port, r":80$", ""),
+    ).when(
+        (scheme == "https") & host_port.endswith(":443"),
+        F.regexp_replace(host_port, r":443$", ""),
+    ).otherwise(host_port)
+    path = F.regexp_extract(url, _URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = _clean_query(F.regexp_extract(url, _URL_RE, 4))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", url if isinstance(url, Column) else F.col(url)).otherwise(canon)
+
+
+def dedup_by_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Keep one row per canonical url (min original url wins — deterministic).
+    The cheap first dedup tier every crawl pipeline runs BEFORE text hashing:
+    one hash-groupBy shuffle on short canonical strings."""
+    keyed = df.withColumn("_canon", canonical_url(F.col(url_col)))
+    keep = keyed.groupBy("_canon").agg(F.min(url_col).alias(url_col))
+    return df.join(keep, url_col, "left_semi")
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Docs per host — the crawl-politeness / boilerplate-prior rollup."""
+    return (
+        df.select(url_host(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )

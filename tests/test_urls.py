@@ -1,0 +1,72 @@
+"""URL canonicalization family: tracking-param stripping, param sorting,
+default-port/ fragment/ case rules, canonical dedup, host rollups — all pure
+Column expressions (no-row-Python asserted)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.functions.urls import (
+    canonical_url,
+    dedup_by_canonical_url,
+    host_stats,
+    url_host,
+    url_registered_domain,
+)
+from invoice_extraction_spark.plans.explain import has_row_python_udf
+
+CASES = [
+    # (input, canonical)
+    ("http://Example.COM:80/a?b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default kept
+    ("http://h.io/p?utm_source=tw&utm_medium=x&q=1", "http://h.io/p?q=1"),
+    ("http://h.io/p?fbclid=abc&gclid=1", "http://h.io/p"),
+    ("http://h.io", "http://h.io/"),
+    ("http://h.io/", "http://h.io/"),
+    ("not a url at all", "not a url at all"),  # unparseable passes through
+    ("http://h.io/p?z=1&a=2", "http://h.io/p?a=2&z=1"),  # params sorted
+]
+
+
+def _df(spark, urls):
+    return spark.createDataFrame(pd.DataFrame({"url": urls}))
+
+
+def test_canonical_url_rules(spark):
+    df = _df(spark, [c[0] for c in CASES])
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c[1] for c in CASES]
+
+
+def test_canonical_is_column_only(spark):
+    df = _df(spark, ["http://a.b/c"])
+    q = df.select(canonical_url(F.col("url")))
+    assert not has_row_python_udf(q)
+
+
+def test_host_and_registered_domain(spark):
+    df = _df(spark, ["https://News.Sub.Example.com:8080/x", "http://localhost/y"])
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    assert (rows[0]["h"], rows[0]["d"]) == ("news.sub.example.com", "example.com")
+    assert (rows[1]["h"], rows[1]["d"]) == ("localhost", "localhost")
+
+
+def test_dedup_by_canonical_url_keeps_one_variant(spark):
+    urls = [
+        "http://h.io/p?a=1&utm_source=tw",
+        "http://h.io/p?a=1",          # same canonical as above
+        "http://H.IO:80/p?a=1#frag",  # same canonical again
+        "http://h.io/p?a=2",          # different
+    ]
+    kept = sorted(r["url"] for r in dedup_by_canonical_url(_df(spark, urls)).collect())
+    # min original url wins for the triplicate; the distinct one survives
+    assert kept == ["http://H.IO:80/p?a=1#frag", "http://h.io/p?a=2"]
+
+
+def test_host_stats_rollup(spark):
+    urls = ["http://a.io/1", "http://a.io/2", "https://b.io/1"]
+    got = {r["host"]: r["n_docs"] for r in host_stats(_df(spark, urls)).collect()}
+    assert got == {"a.io": 2, "b.io": 1}
