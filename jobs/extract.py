@@ -41,6 +41,13 @@ def main(argv=None):
         help="drop exact-duplicate pages (same html fingerprint) before extraction",
     )
     ap.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="drop url-variant duplicates (tracking params, fragments, case, "
+        "default ports) by canonical url BEFORE extraction — the cheapest "
+        "dedup tier; runs ahead of --dedup's payload hashing",
+    )
+    ap.add_argument(
         "--compact", action="store_true", help="compact the table after committing"
     )
     ap.add_argument(
@@ -52,10 +59,15 @@ def main(argv=None):
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from invoice_extraction_spark.operators.extract import extract_pages
     from invoice_extraction_spark.session import get_spark
     from invoice_extraction_spark.sources.atomic import commit_append, pending_source
 
+    # only stop a session this job created — getOrCreate may hand us the
+    # caller's (e.g. a test harness driving main() in-process)
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="extract-job", master=args.master)
     if args.source_format == "warc":
         from invoice_extraction_spark.sources.warc import read_warc
@@ -65,6 +77,13 @@ def main(argv=None):
         src = spark.read.parquet(args.source)
     if args.resume:
         src = pending_source(src, args.table)
+    if args.url_dedup:
+        # canonical-url dedup first: shuffles only short canonical strings,
+        # so it is cheaper than payload hashing and much cheaper than the
+        # Arrow extraction stage it spares duplicates from
+        from invoice_extraction_spark.functions.urls import dedup_by_canonical_url
+
+        src = dedup_by_canonical_url(src, url_col="url")
     if args.dedup:
         # exact dedup on the raw payload before any extraction work:
         # hash-groupBy on md5(html), keep min url — duplicates never reach
@@ -87,7 +106,8 @@ def main(argv=None):
 
         m = compact(spark, args.table)
         print(f"compacted -> run_id={m['run_id']} files={len(m['files'])}")
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
