@@ -70,3 +70,68 @@ def test_host_stats_rollup(spark):
     urls = ["http://a.io/1", "http://a.io/2", "https://b.io/1"]
     got = {r["host"]: r["n_docs"] for r in host_stats(_df(spark, urls)).collect()}
     assert got == {"a.io": 2, "b.io": 1}
+
+
+# --- property fuzz: Column implementation vs an independent Python twin ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_canonical(url: str) -> str:
+    """Independent reference implementation of the module's documented rules
+    (plain string ops, no regex sharing with the Column form)."""
+    import re as _re
+
+    m = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$", url)
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[: -len(":80")]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[: -len(":443")]
+    path = m.group(3) or "/"
+    q = m.group(4) or ""
+    kept = []
+    for kv in q.split("&"):
+        if not kv:
+            continue
+        k = kv.split("=")[0].lower()
+        if k.startswith("utm_") or k in ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid"):
+            continue
+        kept.append(kv)
+    kept.sort()
+    return scheme + "://" + host + path + ("?" + "&".join(kept) if kept else "")
+
+
+_hosts = st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9.-]{0,20}[A-Za-z0-9])?", fullmatch=True)
+_paths = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,3}", fullmatch=True)
+_keys = st.sampled_from(["a", "B", "q", "utm_source", "UTM_X", "fbclid", "ref", "id2"])
+_vals = st.from_regex(r"[A-Za-z0-9%-]{0,6}", fullmatch=True)
+_query = st.lists(st.tuples(_keys, _vals), max_size=4).map(
+    lambda kvs: "&".join(f"{k}={v}" for k, v in kvs)
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "ftp"]),
+    host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_paths,
+    query=_query,
+    frag=st.sampled_from(["", "#x", "#a=b"]),
+)
+def test_canonical_url_matches_python_twin(spark, scheme, host, port, path, query, frag):
+    url = f"{scheme}://{host}{port}{path}"
+    if query:
+        url += "?" + query
+    url += frag
+    got = (
+        _df(spark, [url])
+        .select(canonical_url(F.col("url")).alias("c"))
+        .first()["c"]
+    )
+    assert got == _py_canonical(url), url
