@@ -314,6 +314,88 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+def _resize_rgb(
+    pixels: bytearray, w: int, h: int, nch: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample to (tw, th) — deterministic, stdlib-only
+    (the training-pipeline thumbnail path; bilinear would need numpy on the
+    hot path for no benefit to a fixed-size encoder input)."""
+    out = bytearray(tw * th * nch)
+    for ty in range(th):
+        sy = ty * h // th
+        src_row = sy * w * nch
+        dst_row = ty * tw * nch
+        for tx in range(tw):
+            sx = tx * w // tw
+            s = src_row + sx * nch
+            d = dst_row + tx * nch
+            out[d : d + nch] = pixels[s : s + nch]
+    return bytes(out)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 16,
+    target_h: int = 16,
+    max_batch_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Image rows -> real resized PNG payloads (decode -> nearest-neighbor ->
+    re-encode; same byte-capped Arrow batching as ``extract_features``).
+    Non-image rows are filtered out up front so the binary payloads of other
+    media never ship through this stage. Undecodable images degrade to an
+    ``error`` row (null payload), never a task failure."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def _resize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_id": pdf["media_id"].tolist(), "payload": [], "width": [],
+               "height": [], "error": []}
+        for p in pdf["payload"]:
+            try:
+                w, h, nch, pix = png_decode(bytes(p or b""))
+                small = _resize_rgb(pix, w, h, nch, target_w, target_h)
+
+                def px(x, y, _s=small, _n=nch):
+                    i = (y * target_w + x) * _n
+                    return tuple(_s[i : i + 3]) if _n >= 3 else (_s[i],) * 3
+
+                out["payload"].append(png_encode(target_w, target_h, px))
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["error"].append(None)
+            except Exception as e:  # noqa: BLE001
+                out["payload"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["error"].append(f"{type(e).__name__}: {e}"[:200])
+        return pd.DataFrame(out)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            start = 0
+            acc = 0
+            for i, p in enumerate(pdf["payload"]):
+                acc += len(p or b"")
+                if acc >= max_batch_bytes and i + 1 > start:
+                    yield _resize_pdf(pdf.iloc[start : i + 1])
+                    start, acc = i + 1, 0
+            if start < len(pdf):
+                yield _resize_pdf(pdf.iloc[start:])
+
+    return (
+        df.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only rollup — must NOT read the payload column (column
     pruning keeps the binary out of the scan; asserted in tests)."""

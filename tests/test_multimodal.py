@@ -153,3 +153,54 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     assert got[("image", "png")] == 16
     assert got[("audio", "opus")] == 16
     assert got[("video", "av1")] == 16
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize is REAL: decode the synthesized PNG, nearest-neighbor sample,
+    re-encode — the output payload must itself decode to the target dims and
+    its pixels must equal the source pixels at the sampled grid positions."""
+    from invoice_extraction_spark.operators.multimodal import (
+        png_decode,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(media, target_w=8, target_h=8).collect()
+    }
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    assert set(rows) == set(src)  # every image row resized, nothing else
+    for mid, r in rows.items():
+        assert r["error"] is None
+        w2, h2, nch2, pix2 = png_decode(bytes(r["payload"]))
+        assert (w2, h2) == (8, 8)
+        w, h, nch, pix = png_decode(src[mid])
+        # spot-check the nearest-neighbor mapping on the corners
+        for tx, ty in [(0, 0), (7, 0), (0, 7), (7, 7)]:
+            sx, sy = tx * w // 8, ty * h // 8
+            got = pix2[(ty * 8 + tx) * nch2 : (ty * 8 + tx) * nch2 + 3]
+            want = pix[(sy * w + sx) * nch : (sy * w + sx) * nch + 3]
+            assert bytes(got) == bytes(want), (mid, tx, ty)
+
+
+def test_resize_images_poison_payload_degrades_to_error_row(spark):
+    import pandas as pd
+
+    from invoice_extraction_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "media_type": ["image"],
+                "payload": [b"not a png"],
+            }
+        )
+    )
+    r = resize_images(df).first()
+    assert r["payload"] is None and "ValueError" in r["error"]
