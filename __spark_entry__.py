@@ -564,6 +564,8 @@ def _q_ivf_topk(spark, sf_dir):
 N_EMB_BUCKET_CAP = 48  # deliberately below sf0.01's largest bucket (51) so
 # the hot-bucket cap path is EXERCISED by the driver check, not just present
 # (ADVICE r2: a cap the test data never triggers is checked semantics-free).
+# Calibrated to the sf0.01 correctness corpus ONLY — production uses the
+# operator default (256) or raises n_planes so buckets stay executor-sized.
 
 
 def _q_embedding_topk_pairs(spark, sf_dir):
