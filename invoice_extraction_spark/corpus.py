@@ -205,6 +205,52 @@ def synth_pages(n_docs: int, seed: int = 42) -> list[dict]:
     return [synth_page(i, seed) for i in range(n_docs)]
 
 
+def synth_pdf_doc(doc_seq: int, seed: int = 42) -> dict:
+    """One deterministic application/pdf document row — the PDF sibling of
+    ``synth_page`` (north rule: "PDF/layout parse"). Same invoice-like
+    key-value truth, rendered as genuine PDF 1.4 bytes (Flate-compressed
+    content streams, UTF-16BE hex strings for ₹/Devanagari) with wrapped
+    paragraphs and a "Page N of M" folio the furniture classifier must
+    strip. RNG stream is namespaced ("pdf:seed:seq") so PDF docs never
+    shadow HTML pages at the same seq."""
+    from .functions.pdf_text import build_pdf, lines_to_runs
+
+    rng = random.Random(f"pdf:{seed}:{doc_seq}")
+    u = rng.random()
+    host = HOSTS[next(i for i, c in enumerate(_ZIPF_CUM) if u <= c)]
+    lang = "hi" if rng.random() < 0.30 else "en"
+    url = f"https://{host}/docs/{doc_seq:08d}.pdf"
+    warc_ts = _BASE_TS + _dt.timedelta(seconds=doc_seq * 41 + 13)
+
+    title = _sentence(rng, "en", 5).title()
+    lines: list[str] = [title]
+    for _ in range(rng.randrange(2, 5)):
+        words = _sentence(rng, lang, rng.randrange(12, 36)).split()
+        for i in range(0, len(words), 9):  # ~9 words per rendered line
+            lines.append(" ".join(words[i : i + 9]))
+    kv_rows, truth = _kv_rows(rng, doc_seq)
+    lines += [f"{a} {v}" for a, v in kv_rows]
+
+    per_page = 28
+    chunks = [lines[i : i + per_page] for i in range(0, len(lines), per_page)] or [[]]
+    n_pages = len(chunks)
+    pages = []
+    for pi, chunk in enumerate(chunks):
+        page_lines = list(chunk) + [f"Page {pi + 1} of {n_pages}"]
+        pages.append(lines_to_runs(page_lines))
+    pdf_bytes = build_pdf(pages, compress=True)
+    naive = " ".join(" ".join(lines).split())
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": pdf_bytes,  # the input-hint binary column carries either format
+        "text": naive,
+        "lang": lang,
+        "host": host,
+        "truth": truth,
+    }
+
+
 def pages_pdf(n_docs: int, seed: int = 42):
     """Corpus as a pandas DataFrame with exactly the input_hint columns."""
     import pandas as pd

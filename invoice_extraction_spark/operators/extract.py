@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from ..functions.fields import FIELD_NAMES, extract_fields
 from ..functions.html_blocks import parse_blocks
+from ..functions.pdf_text import parse_pdf_blocks
 
 if TYPE_CHECKING:
     pass
@@ -94,7 +95,14 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # never a task failure (reference's engine-fallback discipline,
             # ocr.py:255-260; at 10^12 docs a task retry loop is an outage)
             try:
-                blocks = parse_blocks(html)
+                # format dispatch by magic bytes (north rule: "HTML
+                # boilerplate strip, PDF/layout parse" through ONE pipeline)
+                if isinstance(html, (bytes, bytearray, memoryview)) and bytes(
+                    html[:5]
+                ) == b"%PDF-":
+                    blocks = parse_pdf_blocks(bytes(html))
+                else:
+                    blocks = parse_blocks(html)
                 content = [b.text for b in blocks if b.is_content]
                 if not content:
                     content = [b.text for b in blocks if b.region == "body"]
