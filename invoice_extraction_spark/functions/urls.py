@@ -102,3 +102,43 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("host")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Docs per registered domain — the skew report behind quota decisions
+    (web corpora are Zipfian by domain; a handful of hosts can be 10% of
+    the crawl)."""
+    return (
+        df.select(url_registered_domain(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def domain_quota_filter(
+    df: DataFrame, max_per_domain: int, url_col: str = "url"
+) -> DataFrame:
+    """Cap documents per registered domain — the anti-over-representation
+    gate every web-scale training pipeline runs (C4 and friends cap or
+    down-weight mega-domains so one forum doesn't dominate the mixture).
+
+    Selection is EXACT and deterministic: rank within domain by
+    ``md5(url)`` (a pure function of the key — reproducible across runs
+    and partitionings, and unbiased w.r.t. crawl order), keep rank <=
+    quota. One shuffle on domain. The per-domain sort is bounded by the
+    largest domain; for corpora where a single domain exceeds executor
+    memory, pre-filter with a hash threshold (keep rows where
+    ``pmod(xxhash64(url), K) < K * quota * safety / n_docs`` using
+    ``domain_stats`` counts) to shrink the sort input before the exact
+    rank — the same two-phase shape as the IVF sampled fit.
+    """
+    from pyspark.sql import Window
+
+    domain = url_registered_domain(F.col(url_col))
+    w = Window.partitionBy("_domain").orderBy(F.md5(F.col(url_col)))
+    return (
+        df.withColumn("_domain", domain)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= max_per_domain)
+        .drop("_domain", "_rank")
+    )

@@ -135,3 +135,80 @@ def test_canonical_url_matches_python_twin(spark, scheme, host, port, path, quer
         .first()["c"]
     )
     assert got == _py_canonical(url), url
+
+
+# --- per-domain quotas -----------------------------------------------------
+
+
+def _quota_urls():
+    # bigdomain: 12 urls across 3 subdomains of one registered domain;
+    # small.org: 2 urls — under any quota
+    urls = [f"https://{sub}.bigdomain.com/p/{i}" for i, sub in enumerate(
+        ["www", "forum", "blog"] * 4
+    )]
+    urls += ["https://small.org/a", "https://small.org/b"]
+    return urls
+
+
+def _py_domain(url):
+    import re as _re
+
+    host = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", url).group(1).lower()
+    host = _re.sub(r":\d+$", "", host)
+    parts = host.split(".")
+    return ".".join(parts[-2:]) if len(parts) >= 2 else parts[-1]
+
+
+def test_domain_quota_exact_against_python_twin(spark):
+    """Independent twin: rank urls per registered domain by md5(url), keep
+    the quota — recomputed in pure Python with hashlib."""
+    import hashlib
+
+    from invoice_extraction_spark.functions.urls import domain_quota_filter
+
+    urls = _quota_urls()
+    quota = 5
+    by_dom = {}
+    for u in urls:
+        by_dom.setdefault(_py_domain(u), []).append(u)
+    expected = set()
+    for dom, us in by_dom.items():
+        for u in sorted(us, key=lambda x: hashlib.md5(x.encode()).hexdigest())[:quota]:
+            expected.add(u)
+
+    got = {
+        r["url"]
+        for r in domain_quota_filter(_df(spark, urls), max_per_domain=quota).collect()
+    }
+    assert got == expected
+    assert sum(1 for u in got if "bigdomain" in u) == quota  # cap bit
+    assert sum(1 for u in got if "small.org" in u) == 2  # under-quota untouched
+
+
+def test_domain_quota_partitioning_independent(spark):
+    from invoice_extraction_spark.functions.urls import domain_quota_filter
+
+    urls = _quota_urls()
+    a = {r["url"] for r in domain_quota_filter(_df(spark, urls), 3).collect()}
+    b = {
+        r["url"]
+        for r in domain_quota_filter(_df(spark, urls).repartition(13), 3).collect()
+    }
+    assert a == b
+
+
+def test_domain_stats_counts(spark):
+    from invoice_extraction_spark.functions.urls import domain_stats
+
+    got = {
+        r["domain"]: r["n_docs"]
+        for r in domain_stats(_df(spark, _quota_urls())).collect()
+    }
+    assert got == {"bigdomain.com": 12, "small.org": 2}
+
+
+def test_domain_quota_no_row_python(spark):
+    from invoice_extraction_spark.functions.urls import domain_quota_filter
+
+    df = domain_quota_filter(_df(spark, _quota_urls()), 3)
+    assert not has_row_python_udf(df)
