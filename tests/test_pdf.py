@@ -199,3 +199,34 @@ def test_pdf_extraction_deterministic(spark):
     b = sorted((r["url"], r["extracted_text"]) for r in extract_pages(df).collect())
     assert a == b
     assert all(t for _, t in a)
+
+
+def test_pdf_pipeline_matches_goldens(spark):
+    """Byte-identity gate for the PDF path — the same north-rule contract
+    the HTML goldens pin (regenerate ONLY on an intentional semantic
+    change: scripts/freeze_pdf_goldens.py)."""
+    import json
+    import os
+
+    from scripts.freeze_pdf_goldens import N_DOCS, pdf_corpus_pdf
+    from invoice_extraction_spark.operators.extract import extract_pages
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "pdf_goldens.json")
+    with open(path) as fh:
+        goldens = json.load(fh)
+    out = extract_pages(spark.createDataFrame(pdf_corpus_pdf()), num_partitions=8).collect()
+    assert len(out) == N_DOCS == len(goldens)
+    for r in out:
+        g = goldens[r["url"]]
+        assert r["extracted_text"].encode() == g["extracted_text"].encode(), r["url"]
+        assert r["confidence"] == g["confidence"]
+        assert r["consensus_confidence"] == g["consensus_confidence"]
+        assert r["total_amount"] == g["total_amount"]
+        for name, want in g["fields"].items():
+            s = r["fields"][name]
+            got = (
+                None
+                if s is None
+                else {"value": s["value"], "start": s["start"], "end": s["end"], "conf": s["conf"], "method": s["method"]}
+            )
+            assert got == want, f"{r['url']}.{name}"
