@@ -48,6 +48,14 @@ def main(argv=None):
         "dedup tier; runs ahead of --dedup's payload hashing",
     )
     ap.add_argument(
+        "--domain-quota",
+        type=int,
+        default=None,
+        help="cap input documents per registered domain (deterministic "
+        "md5-rank selection) — the anti-over-representation gate, applied "
+        "before extraction so capped docs never cost Arrow time",
+    )
+    ap.add_argument(
         "--compact", action="store_true", help="compact the table after committing"
     )
     ap.add_argument(
@@ -91,6 +99,10 @@ def main(argv=None):
         from invoice_extraction_spark.operators.dedup import dedup_exact
 
         src = dedup_exact(src, text_col="html", id_col="url")
+    if args.domain_quota:
+        from invoice_extraction_spark.functions.urls import domain_quota_filter
+
+        src = domain_quota_filter(src, max_per_domain=args.domain_quota)
     out = extract_pages(src, num_partitions=args.partitions, salt_seed=args.salt_seed)
     manifest = commit_append(
         out,
