@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from invoice_extraction_spark.corpus import synth_pages_spark
+from invoice_extraction_spark.corpus import synth_pages_spark, synth_pdf_docs_spark
 from invoice_extraction_spark.operators.extract import extract_pages
 from invoice_extraction_spark.session import get_spark
 
@@ -89,8 +89,27 @@ def main():
 
     extract_wall, extract_walls = _best_of(reps, run_extract)
 
-    queries = {"extract_pages_e2e": round(synth_wall + extract_wall, 3)}
-    query_walls = {"extract_pages": extract_walls}
+    # PDF path (round 3+): same pipeline, application/pdf payloads. Smaller
+    # corpus than HTML (it shares the round's wall budget) but big enough to
+    # measure: ~0.4x the page count.
+    n_pdf = max(int(n_pages * 0.4), 256)
+    pdf_dir = CORPUS_DIR + ".pdf"
+    shutil.rmtree(pdf_dir, ignore_errors=True)
+    synth_pdf_docs_spark(spark, n_pdf, partitions=cpus * 2).write.parquet(pdf_dir)
+    pdf_src = spark.read.parquet(pdf_dir)
+
+    def run_pdf():
+        n = extract_pages(pdf_src, num_partitions=cpus * 2).count()
+        assert n == n_pdf, (n, n_pdf)
+
+    pdf_wall, pdf_walls = _best_of(reps, run_pdf)
+    shutil.rmtree(pdf_dir, ignore_errors=True)
+
+    queries = {
+        "extract_pages_e2e": round(synth_wall + extract_wall, 3),
+        "pdf_extract": pdf_wall,
+    }
+    query_walls = {"extract_pages": extract_walls, "pdf_extract": pdf_walls}
     qs = entrymod.queries()
     # warm the page cache for the queried tables once (the extraction path
     # above is already warm): per-query numbers should measure the ENGINE,
@@ -111,7 +130,8 @@ def main():
     # host is shared and noisy — but per-rep walls + medians make the
     # protocol auditable)
     spread = max(
-        (max(w) / max(min(w), 1e-9)) for w in query_walls.values() if len(w) > 1
+        ((max(w) / max(min(w), 1e-9)) for w in query_walls.values() if len(w) > 1),
+        default=1.0,
     )
     result = {
         "metric": "extract_wall",
@@ -134,6 +154,8 @@ def main():
         ),
         "reps": reps,
         "pages_per_sec": round(n_pages / extract_wall, 1),
+        "pdf_docs_per_sec": round(n_pdf / pdf_wall, 1),
+        "n_pdf_docs": n_pdf,
         "cpus": cpus,
     }
     shutil.rmtree(CORPUS_DIR, ignore_errors=True)

@@ -308,6 +308,42 @@ def synth_pages_spark(spark, n_docs: int, seed: int = 42, partitions: int | None
     return rng_df.mapInPandas(gen, schema=schema)
 
 
+def synth_pdf_docs_spark(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed PDF corpus synthesis — the PDF sibling of
+    ``synth_pages_spark`` (same pure-function-of-(seed,seq) contract, same
+    executor-side parallelism)."""
+    import pandas as pd
+    from pyspark.sql import types as T  # noqa: N812
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [synth_pdf_doc(int(i), seed) for i in pdf["id"]]
+            out = pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+            out["warc_ts"] = out["warc_ts"].astype("datetime64[us]")
+            yield out
+
+    rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
 def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> str:
     """Write the synthetic corpus as a parquet stand-in for the Iceberg table."""
     import pyarrow as pa
