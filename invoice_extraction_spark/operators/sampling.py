@@ -69,3 +69,39 @@ def hash_split(
         .otherwise("train")
     )
     return df.withColumn("split", split)
+
+
+MIXTURE_BUCKETS = 10_000  # 0.01% rate resolution
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    keep_fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling to hit a target data mixture
+    (the pretraining-mix reweighting step: e.g. keep 100% of books, 30% of
+    common-crawl, 5% of a low-quality source). ``keep_fractions`` maps
+    stratum value -> keep rate in [0, 1]; strata not listed keep everything.
+
+    Map-only, zero shuffles: membership = (md5 bucket of the row key) <
+    rate * 10000 — a pure function of the row, so the SAME documents
+    survive on any cluster, any partitioning, any engine (the DuckDB twin
+    computes the identical set). Nested sampling composes: a stratum
+    sampled at 0.3 then re-sampled at 0.5 keeps exactly the 0.15 prefix of
+    the same hash order ONLY if seeds differ — reuse one seed per pipeline
+    stage, never the same seed twice on the same key.
+    """
+    bucket = F.conv(F.substring(_hash_key(F.col(key_col), seed), 1, 8), 16, 10).cast(
+        "long"
+    ) % MIXTURE_BUCKETS
+    rate = None
+    for value, frac in sorted(keep_fractions.items()):
+        thresh = int(round(frac * MIXTURE_BUCKETS))
+        cond = (F.col(stratum_col) == value) & (bucket < thresh)
+        rate = cond if rate is None else (rate | cond)
+    unlisted = ~F.col(stratum_col).isin(list(keep_fractions.keys()))
+    keep = unlisted if rate is None else (unlisted | rate)
+    return df.filter(keep)
