@@ -1,0 +1,185 @@
+"""Training-data curation job — the post-extraction half of the pipeline.
+
+    spark-submit --py-files <pkg.zip> jobs/curate.py \
+        --source /path/to/docs_parquet --table /path/to/curated_table \
+        [--url-dedup] [--exact-dedup] [--near-dedup] \
+        [--min-quality 0.3] [--repetition-gate] [--max-pseudo-ppl 500] \
+        [--bench /path/to/benchmarks.parquet] \
+        [--mixture src0=0.3,src1=0.05 --stratum-col source] \
+        [--pack-budget 2048]
+
+Chains the corpus-curation operators in the order a production pretraining
+pipeline runs them — each stage cheaper filters first so later (more
+expensive) stages see less data:
+
+  1. url dedup          (cheapest: canonical-string groupBy)
+  2. exact dedup        (md5 payload hash groupBy)
+  3. near dedup         (MinHash/LSH + jaccard verify, hot-band capped)
+  4. quality gate       (length/stopword/punct Column score)
+  5. repetition gate    (Gopher dup-token / top-bigram rules)
+  6. LM perplexity gate (corpus-fit unigram model, broadcast scoring)
+  7. decontamination    (benchmark n-gram overlap, broadcast index)
+  8. mixture sampling   (deterministic per-stratum hash thresholds)
+  9. sequence packing   (adds pack_id/pack_seq/pack_offset columns)
+
+Every enabled stage reports retention counts (one count() job per stage —
+the observability a curation run needs; disable with --no-counts to commit
+in a single pass). The result lands as ONE atomic snapshot with lineage,
+so a curation run is resumable/auditable exactly like an extraction run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_mixture(spec: str) -> dict[str, float]:
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="input documents parquet (id, text, ... columns)")
+    ap.add_argument("--table", required=True, help="output table dir (atomic snapshots)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-dedup", action="store_true", help="canonical-url dedup (needs a url column)")
+    ap.add_argument("--exact-dedup", action="store_true")
+    ap.add_argument("--near-dedup", action="store_true", help="MinHash/LSH + jaccard verify")
+    ap.add_argument("--jaccard", type=float, default=0.7)
+    ap.add_argument("--min-quality", type=float, default=None, help="drop docs below this quality_score")
+    ap.add_argument("--repetition-gate", action="store_true", help="Gopher dup-token / top-bigram gate")
+    ap.add_argument(
+        "--max-pseudo-ppl",
+        type=float,
+        default=None,
+        help="fit a unigram LM on the surviving corpus and drop docs above "
+        "this pseudo-perplexity (the CCNet tail cut)",
+    )
+    ap.add_argument("--lm-fit-fraction", type=float, default=None, help="hash-sample fraction for the LM fit (scale path)")
+    ap.add_argument("--bench", default=None, help="benchmark parquet (text column) to decontaminate against")
+    ap.add_argument("--bench-ngram", type=int, default=8)
+    ap.add_argument("--mixture", default=None, help="stratum=fraction[,...] deterministic down-sampling")
+    ap.add_argument("--stratum-col", default="source")
+    ap.add_argument("--pack-budget", type=int, default=None, help="emit pack_id/pack_seq/pack_offset for this token budget")
+    ap.add_argument("--no-counts", action="store_true", help="skip per-stage retention counts (single-pass commit)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from invoice_extraction_spark.functions.text_metrics import (
+        quality_score,
+        repetition_keep,
+        token_count,
+    )
+    from invoice_extraction_spark.session import get_spark
+    from invoice_extraction_spark.sources.atomic import commit_append
+
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="curate-job", master=args.master)
+    df = spark.read.parquet(args.source)
+    id_col, text_col = args.id_col, args.text_col
+
+    stage_counts: list[tuple[str, int]] = []
+    _persisted: list = []  # the previous stage to release once superseded
+
+    def record(name: str, frame):
+        """Count a stage's survivors without re-running the whole upstream
+        chain per count: persist the stage (MEMORY_AND_DISK), count it, drop
+        the previous stage's cache. Counts-on is therefore O(stages) passes
+        with one cached generation alive at a time — the observability mode;
+        --no-counts is the strict single-pass commit for runs where even one
+        cached generation is too much state."""
+        if not args.no_counts:
+            frame = frame.persist()
+            stage_counts.append((name, frame.count()))
+            while _persisted:
+                _persisted.pop().unpersist()
+            _persisted.append(frame)
+        return frame
+
+    df = record("input", df)
+    if args.url_dedup:
+        from invoice_extraction_spark.functions.urls import dedup_by_canonical_url
+
+        df = record("url_dedup", dedup_by_canonical_url(df, url_col="url"))
+    if args.exact_dedup:
+        from invoice_extraction_spark.operators.dedup import dedup_exact
+
+        df = record("exact_dedup", dedup_exact(df, text_col=text_col, id_col=id_col))
+    if args.near_dedup:
+        from invoice_extraction_spark.operators.dedup import dedup_near
+
+        df = record(
+            "near_dedup",
+            dedup_near(df, text_col=text_col, id_col=id_col, threshold=args.jaccard),
+        )
+    if args.min_quality is not None:
+        df = record(
+            "quality_gate", df.filter(quality_score(F.col(text_col)) >= args.min_quality)
+        )
+    if args.repetition_gate:
+        df = record("repetition_gate", df.filter(repetition_keep(F.col(text_col))))
+    if args.max_pseudo_ppl is not None:
+        from invoice_extraction_spark.operators.lm_score import fit_unigram_lm, lm_quality
+
+        lm = fit_unigram_lm(df, text_col=text_col, fit_fraction=args.lm_fit_fraction)
+        keep = (
+            lm_quality(df, lm, text_col=text_col, id_col=id_col)
+            .filter(F.col("pseudo_perplexity") <= args.max_pseudo_ppl)
+            .select(id_col)
+        )
+        df = record("lm_gate", df.join(keep, id_col, "left_semi"))
+    if args.bench:
+        from invoice_extraction_spark.operators.decontam import decontaminate
+
+        bench = spark.read.parquet(args.bench)
+        df = record(
+            "decontaminate",
+            decontaminate(df, bench, text_col=text_col, id_col=id_col, n=args.bench_ngram),
+        )
+    if args.mixture:
+        from invoice_extraction_spark.operators.sampling import mixture_sample
+
+        df = record(
+            "mixture",
+            mixture_sample(df, args.stratum_col, _parse_mixture(args.mixture), key_col=id_col),
+        )
+    if args.pack_budget:
+        from invoice_extraction_spark.operators.packing import pack_documents
+
+        if "n_tokens" not in df.columns:
+            df = df.withColumn("n_tokens", token_count(F.col(text_col)))
+        shard = args.stratum_col if args.stratum_col in df.columns else id_col
+        df = pack_documents(
+            df, "n_tokens", budget=args.pack_budget, shard_col=shard, order_col=id_col
+        )
+
+    manifest = commit_append(
+        df,
+        args.table,
+        run_id=uuid.uuid4().hex[:12],
+        ok_predicate=f"{text_col} IS NOT NULL AND length({text_col}) > 0",
+    )
+    n = sum(ln["n_rows"] for ln in manifest["lineage"])
+    for name, c in stage_counts:
+        print(f"stage {name}: {c} docs")
+    print(f"committed run_id={manifest['run_id']} rows={n}")
+    if owned:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
