@@ -36,9 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _FORM = """<!doctype html><title>spark-webtext-extract</title>
 <h1>spark-webtext-extract</h1>
-<p>Upload an HTML page (or paste source) and run the extraction pipeline.</p>
+<p>Upload an HTML page or PDF (or paste HTML source) and run the extraction
+pipeline — format is auto-detected by magic bytes.</p>
 <form method=post action=/extract enctype=multipart/form-data>
-  <input type=file name=page accept=.html,.htm,text/html>
+  <input type=file name=page accept=.html,.htm,.pdf,text/html,application/pdf>
   <br><textarea name=source rows=12 cols=80 placeholder="...or paste HTML here"></textarea>
   <br><button type=submit>Extract</button>
 </form>"""

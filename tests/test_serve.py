@@ -78,3 +78,16 @@ def test_empty_post_is_400(server):
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_extract_one_handles_pdf(spark):
+    """A PDF upload runs through the SAME pipeline via magic-byte dispatch."""
+    from invoice_extraction_spark.corpus import synth_pdf_doc
+    from jobs.serve import extract_one
+
+    doc = next(
+        d for d in (synth_pdf_doc(i) for i in range(20)) if d["truth"].get("invoice_id")
+    )
+    result = extract_one(spark, doc["html"])
+    assert result["error"] is None
+    assert result["fields"]["invoice_id"]["value"] == doc["truth"]["invoice_id"]
