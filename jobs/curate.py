@@ -15,6 +15,7 @@ expensive) stages see less data:
   1. url dedup          (cheapest: canonical-string groupBy)
   2. exact dedup        (md5 payload hash groupBy)
   3. near dedup         (MinHash/LSH + jaccard verify, hot-band capped)
+  3b. line dedup        (C4-style corpus-wide repeated-line removal)
   4. quality gate       (length/stopword/punct Column score)
   5. repetition gate    (Gopher dup-token / top-bigram rules)
   6. LM perplexity gate (corpus-fit unigram model, broadcast scoring)
@@ -56,6 +57,14 @@ def main(argv=None):
     ap.add_argument("--exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true", help="MinHash/LSH + jaccard verify")
     ap.add_argument("--jaccard", type=float, default=0.7)
+    ap.add_argument(
+        "--line-dedup",
+        type=int,
+        default=None,
+        metavar="K",
+        help="rewrite text dropping lines that appear in >= K distinct docs "
+        "corpus-wide (C4-style chrome removal)",
+    )
     ap.add_argument("--min-quality", type=float, default=None, help="drop docs below this quality_score")
     ap.add_argument("--repetition-gate", action="store_true", help="Gopher dup-token / top-bigram gate")
     ap.add_argument(
@@ -124,6 +133,13 @@ def main(argv=None):
         df = record(
             "near_dedup",
             dedup_near(df, text_col=text_col, id_col=id_col, threshold=args.jaccard),
+        )
+    if args.line_dedup:
+        from invoice_extraction_spark.operators.line_dedup import dedup_lines
+
+        df = record(
+            "line_dedup",
+            dedup_lines(df, text_col=text_col, id_col=id_col, min_docs=args.line_dedup),
         )
     if args.min_quality is not None:
         df = record(

@@ -96,3 +96,23 @@ def test_stage_counts_monotone(spark, corpus_dir, tmp_path, capsys):
     assert len(counts) == 4  # input, exact, near, quality
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] > counts[1]  # the planted dup actually fell out
+
+
+def test_line_dedup_stage(spark, tmp_path, capsys):
+    """--line-dedup rewrites text, removing corpus-wide chrome lines."""
+    import pandas as pd
+
+    from jobs.curate import main
+
+    chrome = "Accept cookies to continue"
+    rows = [(i, f"{chrome}\nunique paragraph {i} words here") for i in range(5)]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).write.parquet(src)
+
+    tbl = str(tmp_path / "curated")
+    main(["--source", src, "--table", tbl, "--line-dedup", "3", "--no-counts"])
+    capsys.readouterr()
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, tbl).collect()}
+    assert len(got) == 5
+    assert all(chrome not in t for t in got.values())
+    assert got[2] == "unique paragraph 2 words here"
