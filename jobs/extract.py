@@ -48,6 +48,12 @@ def main(argv=None):
         "dedup tier; runs ahead of --dedup's payload hashing",
     )
     ap.add_argument(
+        "--respect-noindex",
+        action="store_true",
+        help="drop pages carrying a meta robots/googlebot noindex directive "
+        "(map-only gate, runs before anything expensive)",
+    )
+    ap.add_argument(
         "--domain-quota",
         type=int,
         default=None,
@@ -85,6 +91,10 @@ def main(argv=None):
         src = spark.read.parquet(args.source)
     if args.resume:
         src = pending_source(src, args.table)
+    if args.respect_noindex:
+        from invoice_extraction_spark.functions.robots import drop_noindex
+
+        src = drop_noindex(src, html_col="html")
     if args.url_dedup:
         # canonical-url dedup first: shuffles only short canonical strings,
         # so it is cheaper than payload hashing and much cheaper than the
