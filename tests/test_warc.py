@@ -85,3 +85,31 @@ def test_warc_golden_texts(spark, tmp_path):
     assert len(out) == 16
     for r in out:
         assert r["extracted_text"] == goldens[r["url"]]["extracted_text"]
+
+
+def test_pdf_payload_through_warc(spark, tmp_path):
+    """A PDF record in a WARC segment extracts identically to the same PDF
+    via the parquet path — format dispatch is source-agnostic."""
+    from invoice_extraction_spark.corpus import synth_pdf_doc
+    from invoice_extraction_spark.operators.extract import extract_pages
+    from invoice_extraction_spark.sources.warc import read_warc
+
+    docs = [synth_pdf_doc(i) for i in range(3)]
+    seg = b"".join(write_warc_record(d["url"], TS, d["html"]) for d in docs)
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "seg-0.warc").write_bytes(seg)
+
+    via_warc = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(read_warc(spark, str(seg_dir)).drop("segment")).collect()
+    }
+    rows = [(d["url"], None, d["html"], None) for d in docs]
+    direct = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    via_parquet = {
+        r["url"]: r["extracted_text"] for r in extract_pages(direct).collect()
+    }
+    assert via_warc == via_parquet
+    assert all(t for t in via_warc.values())
