@@ -274,6 +274,12 @@ def read_table(
             if cut is None:
                 raise FileNotFoundError(f"no snapshot with run_id={as_of!r}")
             manifests = manifests[: cut + 1]
+    return _read_manifests(spark, manifests, table_dir)
+
+
+def _read_manifests(
+    spark: SparkSession, manifests: list[dict], table_dir: str
+) -> DataFrame:
     # Partitioned snapshots need their commit's data_dir as basePath so the
     # hive-style dir values come back as (prunable) partition columns; plain
     # snapshots are batched into ONE multi-file read to keep the plan small.
@@ -297,6 +303,59 @@ def read_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.drop("_pid", "_ok")
+
+
+def _snapshot_index(manifests: list[dict], ref: int | str, table_dir: str) -> int:
+    if isinstance(ref, int):
+        if not -len(manifests) <= ref < len(manifests):
+            raise FileNotFoundError(f"no snapshot #{ref} in {table_dir}")
+        return ref % len(manifests)
+    idx = next((i for i, m in enumerate(manifests) if m["run_id"] == ref), None)
+    if idx is None:
+        raise FileNotFoundError(f"no snapshot with run_id={ref!r}")
+    return idx
+
+
+def read_appended(
+    spark: SparkSession,
+    table_dir: str,
+    since: int | str,
+    until: int | str | None = None,
+) -> DataFrame:
+    """Incremental scan (the Iceberg incremental-read analog): ONLY the rows
+    committed AFTER snapshot ``since`` (exclusive), up to ``until``
+    (inclusive, default latest). Refs are snapshot ordinals or run_ids —
+    a downstream consumer persists the last run_id it processed and reads
+    just the delta each cycle, so daily incremental jobs scan O(new data)
+    instead of O(table).
+
+    A compaction snapshot REWRITES history (its files carry all prior rows),
+    so an incremental window containing one cannot distinguish appended rows
+    from rewritten ones — that window raises, same restriction as Iceberg's
+    append-only incremental scan. Windows that merely FOLLOW a compaction
+    are fine.
+
+    An empty window (nothing committed since) returns an empty frame with
+    the table schema — the no-new-data case is normal, not an error.
+    """
+    manifests = list_manifests(table_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    lo = _snapshot_index(manifests, since, table_dir)
+    hi = (
+        len(manifests) - 1
+        if until is None
+        else _snapshot_index(manifests, until, table_dir)
+    )
+    window = manifests[lo + 1 : hi + 1]
+    if not window:
+        return _read_manifests(spark, manifests, table_dir).limit(0)
+    if any(m.get("base") for m in window):
+        raise ValueError(
+            "incremental read crosses a compaction snapshot — re-read the "
+            "full table (or incremental-read from the compaction onward)"
+        )
+    return _read_manifests(spark, window, table_dir)
 
 
 def compact(spark: SparkSession, table_dir: str, target_files: int = 8) -> dict:
