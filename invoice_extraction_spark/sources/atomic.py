@@ -294,14 +294,24 @@ def _read_manifests(
             plain.extend(m["files"])
     if not plain and not partitioned:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    # Schema evolution (Iceberg add-column analog): snapshots may have
+    # grown columns over time. mergeSchema unifies file footers within a
+    # read; allowMissingColumns nulls absent columns across snapshot
+    # generations. Only ADDITIVE evolution is supported — a rename or type
+    # change shows up as add+drop and readers see both columns (document
+    # renames with a view, as Iceberg users do without a catalog).
     parts = []
     if plain:
-        parts.append(spark.read.parquet(*plain))
+        parts.append(spark.read.option("mergeSchema", "true").parquet(*plain))
     for base, files in partitioned:
-        parts.append(spark.read.option("basePath", base).parquet(*files))
+        parts.append(
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out.drop("_pid", "_ok")
 
 

@@ -84,3 +84,34 @@ def test_read_appended_incremental_scan(spark, tmp_path):
         read_appended(spark, tbl, "r1")
     # but reading from the compaction snapshot onward is fine (empty so far)
     assert read_appended(spark, tbl, 3).count() == 0
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A later snapshot may add columns: full reads null them for old rows,
+    time travel shows the schema as of that snapshot, incremental reads
+    carry the new column."""
+    from pyspark.sql import functions as F
+
+    from invoice_extraction_spark.sources.atomic import read_appended
+
+    tbl = str(tmp_path / "tbl")
+    pdf = pages_pdf(6)
+    df = spark.createDataFrame(pdf)
+    v1 = extract_pages(df.limit(3))
+    commit_append(v1, tbl, run_id="v1")
+    v2 = extract_pages(df.subtract(df.limit(3))).withColumn(
+        "quality", F.lit(0.9)
+    )
+    commit_append(v2, tbl, run_id="v2")
+
+    full = read_table(spark, tbl)
+    assert "quality" in full.columns
+    assert full.count() == 6
+    assert full.filter("quality IS NULL").count() == 3  # old rows -> null
+
+    old = read_table(spark, tbl, as_of="v1")
+    assert "quality" not in old.columns  # time travel sees the old schema
+
+    delta = read_appended(spark, tbl, "v1")
+    assert delta.count() == 3
+    assert delta.filter("quality = 0.9").count() == 3
