@@ -41,6 +41,69 @@ LINEAGE_COLS = [
 ]
 
 
+def _stats_value(v):
+    """Footer stat -> JSON-comparable scalar (timestamps as ISO strings —
+    lexicographic order == chronological for a fixed format)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _file_column_stats(files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] for the requested columns, from parquet FOOTERS
+    (metadata-only — no row is read). Columns without footer statistics are
+    simply absent, and readers treat missing stats as 'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per_col: dict[str, list] = {}
+        for col in cols:
+            ci = name_to_idx.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                per_col[col] = [_stats_value(lo), _stats_value(hi)]
+        if per_col:
+            out[f] = per_col
+    return out
+
+
+def _file_survives_prune(stats_for_file: dict | None, prune: dict) -> bool:
+    """False only when the file's recorded [min, max] PROVES no row can
+    match — missing stats always keep the file (skipping is an
+    optimization, never a correctness lever)."""
+    if not stats_for_file:
+        return True
+    for col, (lo, hi) in prune.items():
+        rng = stats_for_file.get(col)
+        if rng is None:
+            continue
+        fmin, fmax = rng
+        lo_v = _stats_value(lo) if lo is not None else None
+        hi_v = _stats_value(hi) if hi is not None else None
+        if lo_v is not None and fmax < lo_v:
+            return False
+        if hi_v is not None and fmin > hi_v:
+            return False
+    return True
+
+
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifests")
 
@@ -127,6 +190,7 @@ def commit_append(
     ok_predicate: str = "extracted_text IS NOT NULL AND length(extracted_text) > 0",
     partition_by: list[str] | None = None,
     lineage_mode: str = "epilogue",
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as one atomic snapshot append; returns the manifest.
 
@@ -156,6 +220,13 @@ def commit_append(
       bytes_in from a Spark ``Observation`` on the same write action.
       Column sums over ``lineage_df`` stay correct; only per-partition
       quality splits are coarser.
+
+    ``stats_cols`` records per-FILE min/max for those columns in the
+    manifest (read from parquet footers — metadata-only, no data scan),
+    enabling manifest-level file skipping at read time
+    (``read_table(..., prune=...)``) — the Iceberg file-stats analog. At
+    100 TB, skipping files before Spark ever lists them is the first line
+    of defense, ahead of row-group pushdown.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     # data dir is unique per COMMIT (not per run_id): a retried run_id must
@@ -230,6 +301,7 @@ def commit_append(
         "data_dir": data_dir,
         "partition_by": partition_by or [],
         "files": files,
+        **({"stats": _file_column_stats(files, stats_cols)} if stats_cols else {}),
         "committed_at": time.time(),
         "lineage": [
             {
@@ -255,13 +327,23 @@ def commit_append(
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, as_of: int | str | None = None
+    spark: SparkSession,
+    table_dir: str,
+    as_of: int | str | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read the committed snapshot (uncommitted data files ignored).
 
     ``as_of`` gives Iceberg-style time travel: an int reads the table as of
     the Nth snapshot (0-based commit order), a string reads up to and
     including that run_id's commit.
+
+    ``prune`` maps column -> (lo, hi) bounds (either side None for
+    open-ended): files whose manifest-recorded min/max (``stats_cols`` at
+    commit time) prove no row can match are dropped BEFORE Spark ever
+    lists them — manifest-level data skipping, the Iceberg scan-planning
+    analog. Pruning is conservative: files without stats are always read,
+    and the caller still applies the real row filter (bounds only bound).
     """
     manifests = list_manifests(table_dir)
     if as_of is not None:
@@ -274,11 +356,14 @@ def read_table(
             if cut is None:
                 raise FileNotFoundError(f"no snapshot with run_id={as_of!r}")
             manifests = manifests[: cut + 1]
-    return _read_manifests(spark, manifests, table_dir)
+    return _read_manifests(spark, manifests, table_dir, prune=prune)
 
 
 def _read_manifests(
-    spark: SparkSession, manifests: list[dict], table_dir: str
+    spark: SparkSession,
+    manifests: list[dict],
+    table_dir: str,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     # Partitioned snapshots need their commit's data_dir as basePath so the
     # hive-style dir values come back as (prunable) partition columns; plain
@@ -288,10 +373,18 @@ def _read_manifests(
     for m in manifests:
         if m.get("base"):
             plain, partitioned = [], []
+        files = m["files"]
+        if prune:
+            stats = m.get("stats", {})
+            files = [f for f in files if _file_survives_prune(stats.get(f), prune)]
         if m.get("partition_by"):
-            partitioned.append((m["data_dir"], m["files"]))
+            if files:
+                partitioned.append((m["data_dir"], files))
         else:
-            plain.extend(m["files"])
+            plain.extend(files)
+    if prune and not plain and not partitioned:
+        # every file provably out of range: empty frame with the table schema
+        return _read_manifests(spark, manifests, table_dir).limit(0)
     if not plain and not partitioned:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
     # Schema evolution (Iceberg add-column analog): snapshots may have
@@ -313,6 +406,24 @@ def _read_manifests(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out.drop("_pid", "_ok")
+
+
+def prune_report(table_dir: str, prune: dict[str, tuple]) -> dict:
+    """Planning-time observability: how many committed files the given
+    bounds would skip (no Spark involved — pure manifest math). Log this
+    next to a pruned read; 0 skipped usually means the table was written
+    without ``stats_cols`` or isn't clustered on the pruned column."""
+    manifests = list_manifests(table_dir)
+    total = skipped = 0
+    for m in manifests:
+        if m.get("base"):
+            total = skipped = 0
+        stats = m.get("stats", {})
+        for f in m["files"]:
+            total += 1
+            if not _file_survives_prune(stats.get(f), prune):
+                skipped += 1
+    return {"n_files": total, "n_skipped": skipped, "n_read": total - skipped}
 
 
 def _snapshot_index(manifests: list[dict], ref: int | str, table_dir: str) -> int:
