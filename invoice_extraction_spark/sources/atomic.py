@@ -408,6 +408,48 @@ def _read_manifests(
     return out.drop("_pid", "_ok")
 
 
+def rollback(table_dir: str, to: int | str) -> dict:
+    """Roll the table head back to snapshot ``to`` (ordinal or run_id):
+    later manifests move to ``_manifests/_rolled_back/`` so every reader —
+    read_table, resume's pending_source, incremental reads — sees the
+    table exactly as of that snapshot, and the next commit_append continues
+    history from there. The bad commits' data FILES stay on disk (no longer
+    referenced, so a later ``vacuum`` garbage-collects them) — the undo is
+    metadata-only and atomic per manifest rename, like Iceberg's
+    rollback-to-snapshot (Iceberg keeps the orphaned snapshots in metadata;
+    we archive them, which is the same recoverability with a filesystem
+    instead of a catalog).
+
+    Refuses to roll back to a state whose data files no longer exist
+    (possible when vacuum already collected pre-compaction files) — a
+    rollback that would produce an unreadable table is an error, not a
+    surprise at read time.
+    """
+    manifests = list_manifests(table_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    idx = _snapshot_index(manifests, to, table_dir)
+    target_files = _files_from(manifests[: idx + 1])
+    missing = [f for f in target_files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot roll back to {to!r}: {len(missing)} data file(s) already "
+            f"vacuumed (first: {missing[0]})"
+        )
+    mdir = _manifest_dir(table_dir)
+    archive = os.path.join(mdir, "_rolled_back")
+    names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+    moved = []
+    os.makedirs(archive, exist_ok=True)
+    for name in names[idx + 1 :]:
+        os.rename(os.path.join(mdir, name), os.path.join(archive, name))
+        moved.append(name)
+    return {
+        "rolled_back_to": manifests[idx]["run_id"],
+        "archived_manifests": moved,
+    }
+
+
 def prune_report(table_dir: str, prune: dict[str, tuple]) -> dict:
     """Planning-time observability: how many committed files the given
     bounds would skip (no Spark involved — pure manifest math). Log this

@@ -115,3 +115,53 @@ def test_additive_schema_evolution(spark, tmp_path):
     delta = read_appended(spark, tbl, "v1")
     assert delta.count() == 3
     assert delta.filter("quality = 0.9").count() == 3
+
+
+def test_rollback_and_recommit(spark, tmp_path):
+    """Rollback archives later snapshots (metadata-only), every reader sees
+    the old head, vacuum collects the orphaned files, history continues."""
+    from invoice_extraction_spark.sources.atomic import (
+        lineage_df,
+        list_manifests,
+        rollback,
+        vacuum,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    pdf = pages_pdf(9)
+    df = spark.createDataFrame(pdf)
+    commit_append(extract_pages(df.limit(3)), tbl, run_id="good")
+    bad = extract_pages(df.limit(6).subtract(df.limit(3)))
+    commit_append(bad, tbl, run_id="bad")
+
+    res = rollback(tbl, "good")
+    assert res["rolled_back_to"] == "good"
+    assert len(res["archived_manifests"]) == 1
+    assert read_table(spark, tbl).count() == 3
+    assert [m["run_id"] for m in list_manifests(tbl)] == ["good"]
+    assert set(lineage_df(spark, tbl).select("run_id").toPandas()["run_id"]) == {"good"}
+
+    # orphaned files are dead to vacuum now
+    removed = vacuum(tbl)
+    assert removed  # the bad commit's files went away
+    assert read_table(spark, tbl).count() == 3  # live data untouched
+
+    # history continues linearly after the rollback
+    commit_append(extract_pages(df.subtract(df.limit(6))), tbl, run_id="retry")
+    assert read_table(spark, tbl).count() == 6
+    assert [m["run_id"] for m in list_manifests(tbl)] == ["good", "retry"]
+
+
+def test_rollback_refuses_vacuumed_target(spark, tmp_path):
+    """Rolling back to a pre-compaction state whose files were vacuumed must
+    raise — never silently produce an unreadable table."""
+    from invoice_extraction_spark.sources.atomic import compact, rollback, vacuum
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf(4))
+    commit_append(extract_pages(df), tbl, run_id="v1")
+    compact(spark, tbl)
+    vacuum(tbl)  # v1's files are superseded by the compaction -> collected
+    with pytest.raises(FileNotFoundError):
+        rollback(tbl, "v1")
+    assert read_table(spark, tbl).count() == 4  # table still healthy
