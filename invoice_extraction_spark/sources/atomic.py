@@ -56,7 +56,10 @@ def _stats_value(v):
 def _file_column_stats(files: list[str], cols: list[str]) -> dict:
     """Per-file [min, max] for the requested columns, from parquet FOOTERS
     (metadata-only — no row is read). Columns without footer statistics are
-    simply absent, and readers treat missing stats as 'cannot skip'."""
+    simply absent, and readers treat missing stats as 'cannot skip'.
+    Note: Spark writes timestamps as INT96 by default, which carries NO
+    footer min/max — use string/numeric columns (url, ids, scores) as skip
+    keys, or epoch-long derived columns when time-range skipping matters."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}

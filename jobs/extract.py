@@ -65,6 +65,13 @@ def main(argv=None):
         "--compact", action="store_true", help="compact the table after committing"
     )
     ap.add_argument(
+        "--stats-cols",
+        default=None,
+        help="comma-separated columns to record per-file min/max stats for "
+        "in the manifest (footer metadata only) — enables manifest-level "
+        "file skipping via read_table(prune=...)",
+    )
+    ap.add_argument(
         "--partition-by",
         default=None,
         help="comma-separated output partition columns (e.g. lang) — readers "
@@ -119,6 +126,7 @@ def main(argv=None):
         args.table,
         run_id=uuid.uuid4().hex[:12],
         partition_by=args.partition_by.split(",") if args.partition_by else None,
+        stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
     )
     n = sum(ln["n_rows"] for ln in manifest["lineage"])
     ok = sum(ln["n_ok"] for ln in manifest["lineage"])

@@ -97,3 +97,20 @@ def test_stats_less_table_ignores_prune(spark, tmp_path):
     commit_append(df, tbl, run_id="n1", ok_predicate="doc_id >= 0")
     out = read_table(spark, tbl, prune={"doc_id": (0, 5)})
     assert out.count() == 20  # no stats -> conservative: read everything
+
+
+def test_extract_job_records_stats(spark, tmp_path):
+    from invoice_extraction_spark.corpus import pages_pdf
+    from jobs.extract import main
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(pages_pdf(6)).write.parquet(src)
+    tbl = str(tmp_path / "out")
+    main(["--source", src, "--table", tbl, "--stats-cols", "url,warc_ts"])
+    (m,) = list_manifests(tbl)
+    some = next(iter(m["stats"].values()))
+    # INT96 timestamps carry no footer min/max (Spark default) — the column
+    # is conservatively absent; url (string) stats are recorded
+    assert set(some) == {"url"}
+    lo, hi = some["url"]
+    assert lo.startswith("https://") and lo <= hi
