@@ -1,0 +1,100 @@
+"""Product quantization: encode parity vs an independent numpy twin,
+deterministic fit, ADC recall against exact search, plan hygiene."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.operators.pq import (
+    fit_pq_codebooks,
+    pq_adc_distance,
+    pq_encode,
+    pq_topk,
+)
+
+DIM, M, K = 64, 8, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def books(spark, emb):
+    return fit_pq_codebooks(emb, dim=DIM, m=M, k=K, seed=7)
+
+
+def test_fit_deterministic_and_shaped(spark, emb, books):
+    again = fit_pq_codebooks(emb, dim=DIM, m=M, k=K, seed=7)
+    assert books == again
+    assert len(books) == M and all(len(b) == K for b in books)
+    assert all(len(c) == DIM // M for b in books for c in b)
+
+
+def test_encode_matches_numpy_twin(spark, emb, books):
+    """Column argmin == independent numpy argmin for every vector."""
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    d_sub = DIM // M
+    want = {}
+    for vid, x in zip(pdf["vec_id"], X):
+        codes = []
+        for mi in range(M):
+            C = np.array(books[mi])
+            d2 = ((x[mi * d_sub : (mi + 1) * d_sub] - C) ** 2).sum(axis=1)
+            codes.append(int(d2.argmin()))
+        want[vid] = codes
+    got = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select("vec_id", pq_encode("embedding", books).alias("c")).collect()
+    }
+    assert got == want
+    assert all(0 <= ci < K for cs in got.values() for ci in cs)
+
+
+def test_adc_recall_vs_exact(spark, emb, books):
+    """ADC over 4-bit codes must substantially agree with exact L2 top-10
+    (64x compression keeps most of the neighborhood structure)."""
+    q = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    coded = emb.select("vec_id", pq_encode("embedding", books).alias("pq_codes"))
+    approx = {r["vec_id"] for r in pq_topk(coded, q, books, k=10).collect()}
+
+    diff = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (F.try_element_at(F.col("embedding"), i).cast("double") - F.try_element_at(F.lit(q), i)) ** 2,
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", F.aggregate(diff, F.lit(0.0), lambda a, x: a + x).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    recall = len(approx & exact) / 10
+    assert 0 in approx  # the query vector itself is always found
+    assert recall >= 0.3, recall  # far above chance (10/500 = 0.02)
+
+
+def test_adc_distance_of_own_code_is_small(spark, emb, books):
+    """A vector's ADC distance to its own codes equals the quantization
+    error — far below the distance to a random other vector."""
+    q = [float(v) for v in emb.filter("vec_id = 1").collect()[0]["embedding"]]
+    coded = emb.select("vec_id", pq_encode("embedding", books).alias("pq_codes"))
+    d = {
+        r["vec_id"]: r["d"]
+        for r in coded.filter("vec_id IN (1, 250)")
+        .select("vec_id", F.round(pq_adc_distance("pq_codes", q, books), 6).alias("d"))
+        .collect()
+    }
+    assert d[1] < d[250]
+
+
+def test_pq_topk_is_map_only(spark, emb, books):
+    q = [0.0] * DIM
+    coded = emb.select("vec_id", pq_encode("embedding", books).alias("pq_codes"))
+    plan = pq_topk(coded, q, books, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1]  # no shuffle below top-k
