@@ -8,7 +8,14 @@ training-data-pipeline extras::
         dedup_exact, dedup_near, dedup_incremental,       # dedup
         brute_force_topk, lsh_topk, ivf_topk,             # similarity
         categorize_errors, save_error_report,             # error analytics
-        hash_quota_sample, hash_split,                    # sampling
+        hash_quota_sample, hash_split, mixture_sample,    # sampling / mixture
+        fit_unigram_lm, lm_quality,                       # LM quality scoring
+        pack_documents, pack_stats,                       # sequence packing
+        decontaminate, benchmark_contamination,           # eval decontamination
+        dedup_lines, line_frequencies,                    # C4 line dedup
+        extract_block_features, path_nb_score,            # block classifier
+        distinct_sketches, merge_distinct_estimate,       # sketch rollups
+        pq_encode, pq_topk, fit_pq_codebooks,             # product quantization
     )
 """
 
@@ -31,10 +38,31 @@ from .errors import (  # noqa: F401
     field_success_summary,
     save_error_report,
 )
+from .blocks import (  # noqa: F401
+    extract_block_features,
+    fit_path_nb_weights,
+    hashed_path_features,
+    path_nb_score,
+)
+from .decontam import (  # noqa: F401
+    benchmark_contamination,
+    benchmark_ngram_index,
+    decontaminate,
+)
 from .extract import extract_pages, pseudo_labels, salted_repartition  # noqa: F401
 from .fuzzy import fuzzy_join, validate_sellers  # noqa: F401
+from .line_dedup import dedup_lines, line_frequencies  # noqa: F401
+from .lm_score import fit_unigram_lm, lm_quality, lm_quality_buckets  # noqa: F401
 from .multimodal import extract_features, frame_sample, media_stats  # noqa: F401
-from .sampling import hash_quota_sample, hash_split  # noqa: F401
+from .packing import pack_documents, pack_stats, packing_summary  # noqa: F401
+from .pq import fit_pq_codebooks, pq_adc_distance, pq_encode, pq_topk  # noqa: F401
+from .sampling import hash_quota_sample, hash_split, mixture_sample  # noqa: F401
+from .sketches import (  # noqa: F401
+    distinct_sketches,
+    merge_distinct_estimate,
+    merge_quantile_estimate,
+    quantile_sketches,
+)
 from .similarity import (  # noqa: F401
     brute_force_topk,
     embedding_topk_pairs,
