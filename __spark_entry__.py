@@ -312,10 +312,32 @@ def _q_simhash_bands(spark, sf_dir):
     return dd.simhash_buckets(d, prefix=16).orderBy("simhash_band")
 
 
-def _q_fingerprints(spark, sf_dir):
-    """Document fingerprinting (md5 over length|head|tail)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select("doc_id", tm.fingerprint("text").alias("fp")).orderBy("doc_id")
+LM_VOCAB = 200  # small vocab: the fit is part of the checked query
+
+
+def _q_lm_doc_quality(spark, sf_dir):
+    """CCNet-shaped unigram-LM quality scoring: fit on the corpus itself
+    (top-200 vocab by frequency, deterministic tiebreak), broadcast-score
+    every document — per-doc mean log-prob + pseudo-perplexity."""
+    from invoice_extraction_spark.operators.lm_score import fit_unigram_lm, lm_quality
+
+    d = _t(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(d, vocab_size=LM_VOCAB)
+    return lm_quality(d, lm, id_col="doc_id")
+
+
+PACK_BUDGET = 256
+
+
+def _q_pack_assignments(spark, sf_dir):
+    """Sequence packing (greedy-with-overflow) as a per-shard window
+    cumsum: pack id/seq/token-offset per document, shard = source."""
+    from invoice_extraction_spark.operators.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn("n_tokens", tm.token_count("text"))
+    return pack_documents(
+        d, "n_tokens", PACK_BUDGET, shard_col="source", order_col="doc_id"
+    ).select("doc_id", "pack_id", "pack_seq", "pack_offset")
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -347,17 +369,6 @@ def _q_events_severity(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .orderBy("severity")
-    )
-
-
-def _q_top5_event_types(spark, sf_dir):
-    """A6/W3 analog: error-frequency top-5."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "event_type")
-        .limit(5)
     )
 
 
@@ -810,11 +821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_pairs": _q_lsh_pairs,
         "simhash_bands": _q_simhash_bands,
-        "fingerprints": _q_fingerprints,
+        "lm_doc_quality": _q_lm_doc_quality,
         "cosine_topk": _q_cosine_topk,
         "centroid_topk_per_label": _q_centroid_topk_per_label,
         "events_severity": _q_events_severity,
-        "top5_event_types": _q_top5_event_types,
+        "pack_assignments": _q_pack_assignments,
         "user_sessions": _q_user_sessions,
         "pricing_summary": _q_pricing_summary,
         "revenue_top_customers": _q_revenue_top_customers,
@@ -1289,10 +1300,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT substr(simhash, 1, 16) AS simhash_band, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
             FROM s GROUP BY 1 ORDER BY simhash_band
         """,
-        "fingerprints": """
-            SELECT doc_id, md5(concat_ws('|', CAST(length(text) AS VARCHAR),
-                   substr(text, 1, 64), substr(reverse(text), 1, 64))) AS fp
-            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        "lm_doc_quality": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            counts AS (
+              SELECT token, count(*)::BIGINT AS n FROM tok2 GROUP BY token
+            ),
+            tot AS (SELECT SUM(n)::DOUBLE AS t FROM counts),
+            vocab AS (
+              SELECT token, ln(n / t) AS logp FROM counts, tot
+              ORDER BY n DESC, token LIMIT 200
+            ),
+            scored AS (
+              SELECT doc_id, coalesce(v.logp, (SELECT ln(0.5 / t) FROM tot)) AS logp
+              FROM tok2 LEFT JOIN vocab v USING (token)
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   ROUND(AVG(logp), 4) AS mean_logp,
+                   ROUND(EXP(-AVG(logp)), 4) AS pseudo_perplexity
+            FROM scored GROUP BY doc_id
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -1325,9 +1354,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1 ORDER BY severity
         """,
-        "top5_event_types": """
-            SELECT event_type, COUNT(*) AS n FROM events
-            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+        "pack_assignments": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(string_split(text, ' ')) END AS n_tokens
+              FROM documents
+            ),
+            packed AS (
+              SELECT doc_id, source, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM d
+            )
+            SELECT doc_id,
+                   source || '#' || CAST(FLOOR(cum_before / 256) AS BIGINT) AS pack_id,
+                   CAST(FLOOR(cum_before / 256) AS BIGINT) AS pack_seq,
+                   CAST(cum_before % 256 AS BIGINT) AS pack_offset
+            FROM packed
         """,
         "user_sessions": """
             WITH e AS (SELECT user_id, ts, event_id,
