@@ -30,9 +30,15 @@ NOINDEX_RE = f"(?i)<meta\\s[^>]*(?:{_NAME}[^>]*{_CONTENT}|{_CONTENT}[^>]*{_NAME}
 
 
 def meta_noindex(html_col: Column | str) -> Column:
-    """True when the payload carries a robots/googlebot noindex directive."""
+    """True when the payload carries a robots/googlebot noindex directive.
+
+    Decodes ISO-8859-1, not UTF-8: every byte sequence is valid latin-1, so
+    binary payloads (PDF, images) can never throw (ANSI-mode ``decode``
+    raises MALFORMED_CHARACTER_CODING on invalid UTF-8 — a compressed PDF
+    stream is exactly that), and the match is ASCII-only so the charset
+    choice cannot change the verdict."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
-    return F.decode(c, "UTF-8").rlike(NOINDEX_RE)
+    return F.decode(c, "ISO-8859-1").rlike(NOINDEX_RE)
 
 
 def drop_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:

@@ -97,7 +97,14 @@ def main(argv=None):
 
     owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="curate-job", master=args.master)
-    df = spark.read.parquet(args.source)
+    if os.path.isdir(os.path.join(args.source, "_manifests")):
+        # the source is itself an atomic table (e.g. jobs/extract.py output):
+        # read the committed snapshot, never uncommitted files
+        from invoice_extraction_spark.sources.atomic import read_table
+
+        df = read_table(spark, args.source)
+    else:
+        df = spark.read.parquet(args.source)
     id_col, text_col = args.id_col, args.text_col
 
     stage_counts: list[tuple[str, int]] = []

@@ -87,3 +87,15 @@ def test_extract_job_respects_noindex(spark, tmp_path):
     main(["--source", src, "--table", tbl, "--respect-noindex", "--partitions", "2"])
     urls = {r["url"] for r in read_table(spark, tbl).select("url").collect()}
     assert pdf.loc[0, "url"] not in urls and len(urls) == 3
+
+
+def test_binary_payloads_never_throw(spark):
+    """PDF/binary payloads (invalid UTF-8) must pass the gate untouched —
+    ANSI-mode decode would throw on UTF-8; the latin-1 decode is total."""
+    from invoice_extraction_spark.corpus import synth_pdf_doc
+
+    rows = [(i, synth_pdf_doc(i)["html"]) for i in range(3)] + [
+        (99, bytes(range(256)))
+    ]
+    df = spark.createDataFrame(rows, "i long, html binary")
+    assert drop_noindex(df).count() == 4
