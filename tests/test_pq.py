@@ -98,3 +98,33 @@ def test_pq_topk_is_map_only(spark, emb, books):
     plan = pq_topk(coded, q, books, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1]  # no shuffle below top-k
+
+
+def test_ivf_pq_index_and_search(spark, emb, books):
+    """IVF-PQ: probing all cells reproduces the full PQ scan exactly;
+    probing few cells prunes the scan yet keeps the query's own vector
+    findable; the index is code-sized, not vector-sized."""
+    from invoice_extraction_spark.operators.ivf_centroids import (
+        FROZEN_IVF_CENTROIDS,
+    )
+    from invoice_extraction_spark.operators.pq import ivf_pq_index, ivf_pq_topk
+
+    index = ivf_pq_index(emb, FROZEN_IVF_CENTROIDS, books).persist()
+    assert set(index.columns) == {"vec_id", "cell", "pq_codes"}
+    n_cells = index.select("cell").distinct().count()
+    assert 2 <= n_cells <= 16
+
+    q = [float(v) for v in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+
+    # n_probe = all cells == plain PQ full scan (same ids, same distances)
+    full = ivf_pq_topk(index, q, FROZEN_IVF_CENTROIDS, books, k=10, n_probe=16)
+    from invoice_extraction_spark.operators.pq import pq_topk
+
+    plain = pq_topk(index, q, books, k=10)
+    assert [r.asDict() for r in full.collect()] == [r.asDict() for r in plain.collect()]
+
+    # narrow probe: the query's own vector lives in its nearest cell
+    narrow = ivf_pq_topk(index, q, FROZEN_IVF_CENTROIDS, books, k=10, n_probe=2)
+    ids = [r["vec_id"] for r in narrow.collect()]
+    assert 7 in ids
+    index.unpersist()
