@@ -128,3 +128,18 @@ def test_ivf_pq_index_and_search(spark, emb, books):
     ids = [r["vec_id"] for r in narrow.collect()]
     assert 7 in ids
     index.unpersist()
+
+
+def test_frozen_codebooks_usable(spark, emb):
+    """The frozen literal codebooks encode + search without any fit —
+    the production deployment path."""
+    from invoice_extraction_spark.operators.pq_codebooks import FROZEN_PQ_CODEBOOKS
+
+    assert len(FROZEN_PQ_CODEBOOKS) == M
+    assert all(len(b) == K for b in FROZEN_PQ_CODEBOOKS)
+    coded = emb.select(
+        "vec_id", pq_encode("embedding", FROZEN_PQ_CODEBOOKS).alias("pq_codes")
+    )
+    q = [float(v) for v in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    top = [r["vec_id"] for r in pq_topk(coded, q, FROZEN_PQ_CODEBOOKS, k=5).collect()]
+    assert 3 in top
