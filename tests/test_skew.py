@@ -53,3 +53,67 @@ def test_salted_repartition_beats_host_partitioning(spark):
     assert max(salted_sizes) < 1.25 * mean, salted_sizes
     # and strictly better than the skewed layout
     assert max(salted_sizes) < max(host_sizes)
+
+
+# --- salted JOIN (operators/skew.py) ---------------------------------------
+
+
+def _skewed_frames(spark):
+    import pandas as pd
+
+    # 90% of big-side rows share one key — the pathological hot key
+    big = pd.DataFrame(
+        {
+            "k": ["hot"] * 900 + [f"k{i}" for i in range(100)],
+            "v": range(1000),
+        }
+    )
+    other = pd.DataFrame(
+        {"k": ["hot"] + [f"k{i}" for i in range(0, 200, 2)], "w": range(101)}
+    )
+    return spark.createDataFrame(big), spark.createDataFrame(other)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from invoice_extraction_spark.operators.skew import salted_join
+
+    big, other = _skewed_frames(spark)
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r) for r in big.join(other, "k", how).select("k", "v", "w").collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(big, other, "k", n_salts=8, how=how)
+            .select("k", "v", "w")
+            .collect()
+        }
+        assert salted == plain, how
+
+
+def test_salting_spreads_the_hot_key(spark):
+    """The hot key's rows land on many (key, salt) shuffle keys instead of
+    one — measured as the max single-shuffle-key share dropping ~8x."""
+    from invoice_extraction_spark.operators.skew import salted_join
+
+    big, other = _skewed_frames(spark)
+    plain_max = (
+        big.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(42)), F.lit(8)).cast("int"),
+    )
+    salted_max = (
+        salted.groupBy("k", "_salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert plain_max == 900
+    assert salted_max < 900 / 4  # spread across 8 salts (binomial slack)
+
+
+def test_key_skew_report(spark):
+    from invoice_extraction_spark.operators.skew import key_skew_report
+
+    big, _ = _skewed_frames(spark)
+    top = key_skew_report(big, "k", top_n=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["row_share"] == 0.9
