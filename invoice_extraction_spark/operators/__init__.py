@@ -55,14 +55,24 @@ from .line_dedup import dedup_lines, line_frequencies  # noqa: F401
 from .lm_score import fit_unigram_lm, lm_quality, lm_quality_buckets  # noqa: F401
 from .multimodal import extract_features, frame_sample, media_stats  # noqa: F401
 from .packing import pack_documents, pack_stats, packing_summary  # noqa: F401
-from .pq import fit_pq_codebooks, pq_adc_distance, pq_encode, pq_topk  # noqa: F401
+from .pq import (  # noqa: F401
+    fit_pq_codebooks,
+    ivf_pq_index,
+    ivf_pq_topk,
+    pq_adc_distance,
+    pq_encode,
+    pq_topk,
+)
 from .sampling import hash_quota_sample, hash_split, mixture_sample  # noqa: F401
+from .range_join import interval_join  # noqa: F401
 from .sketches import (  # noqa: F401
     distinct_sketches,
     merge_distinct_estimate,
     merge_quantile_estimate,
     quantile_sketches,
 )
+from .skew import key_skew_report, salted_join  # noqa: F401
+from .zorder import z_value, zorder_layout  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     embedding_topk_pairs,
