@@ -16,6 +16,7 @@ expensive) stages see less data:
   2. exact dedup        (md5 payload hash groupBy)
   3. near dedup         (MinHash/LSH + jaccard verify, hot-band capped)
   3b. line dedup        (C4-style corpus-wide repeated-line removal)
+  3c. text repair       (mojibake / control chars / punctuation)
   4. quality gate       (length/stopword/punct Column score)
   5. repetition gate    (Gopher dup-token / top-bigram rules)
   6. LM perplexity gate (corpus-fit unigram model, broadcast scoring)
@@ -64,6 +65,12 @@ def main(argv=None):
         metavar="K",
         help="rewrite text dropping lines that appear in >= K distinct docs "
         "corpus-wide (C4-style chrome removal)",
+    )
+    ap.add_argument(
+        "--fix-text",
+        action="store_true",
+        help="repair text in place (mojibake round-trip, control-char strip, "
+        "punctuation normalization) before the quality gates",
     )
     ap.add_argument("--min-quality", type=float, default=None, help="drop docs below this quality_score")
     ap.add_argument("--repetition-gate", action="store_true", help="Gopher dup-token / top-bigram gate")
@@ -148,6 +155,10 @@ def main(argv=None):
             "line_dedup",
             dedup_lines(df, text_col=text_col, id_col=id_col, min_docs=args.line_dedup),
         )
+    if args.fix_text:
+        from invoice_extraction_spark.functions.textfix import clean_text
+
+        df = record("fix_text", df.withColumn(text_col, clean_text(F.col(text_col))))
     if args.min_quality is not None:
         df = record(
             "quality_gate", df.filter(quality_score(F.col(text_col)) >= args.min_quality)

@@ -116,3 +116,20 @@ def test_line_dedup_stage(spark, tmp_path, capsys):
     assert len(got) == 5
     assert all(chrome not in t for t in got.values())
     assert got[2] == "unique paragraph 2 words here"
+
+
+def test_fix_text_stage(spark, tmp_path, capsys):
+    """--fix-text repairs mojibake before the quality gates."""
+    import pandas as pd
+
+    from jobs.curate import main
+
+    rows = [(1, "CafÃ© rÃ©sumÃ© needs fixing here"), (2, "already clean words here")]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).write.parquet(src)
+    tbl = str(tmp_path / "out")
+    main(["--source", src, "--table", tbl, "--fix-text", "--no-counts"])
+    capsys.readouterr()
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, tbl).collect()}
+    assert got[1] == "Café résumé needs fixing here"
+    assert got[2] == "already clean words here"
