@@ -112,3 +112,14 @@ def test_mixed_clean_and_broken_passes_through(spark):
     corrupting the clean half."""
     s = "clean “quote” with CafÃ© mojibake"
     assert _fix_one(s) == s
+
+
+def test_kernel_is_arrow_not_row_python(spark):
+    from invoice_extraction_spark.plans.explain import has_row_python_udf
+
+    df = spark.createDataFrame([(1, "x y z")], "i long, t string").select(
+        clean_text("t").alias("f")
+    )
+    assert not has_row_python_udf(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
