@@ -230,3 +230,32 @@ def test_pdf_pipeline_matches_goldens(spark):
                 else {"value": s["value"], "start": s["start"], "end": s["end"], "conf": s["conf"], "method": s["method"]}
             )
             assert got == want, f"{r['url']}.{name}"
+
+
+# --- property fuzz: writer -> reader round trip ----------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_words = st.text(
+    alphabet=st.sampled_from(
+        "abcXYZ019(){}\\<>/[]#%&'\"é₹क喂🙂-+.,:"
+    ),
+    min_size=1,
+    max_size=8,
+)
+_lines = st.lists(
+    st.lists(_words, min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lines=_lines, compress=st.booleans())
+def test_pdf_round_trip_fuzz(lines, compress):
+    """Any single-spaced printable lines (incl. PDF delimiters, escapes,
+    non-latin1 text) survive build -> extract byte-identically, compressed
+    or not."""
+    pdf = build_pdf([lines_to_runs(lines)], compress=compress)
+    assert extract_pdf_pages_text(pdf) == [lines]
