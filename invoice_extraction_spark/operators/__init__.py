@@ -15,69 +15,116 @@ training-data-pipeline extras::
         dedup_lines, line_frequencies,                    # C4 line dedup
         extract_block_features, path_nb_score,            # block classifier
         distinct_sketches, merge_distinct_estimate,       # sketch rollups
-        pq_encode, pq_topk, fit_pq_codebooks,             # product quantization
+        pq_encode, pq_topk, ivf_pq_topk,                  # product quantization
+        interval_join, salted_join,                       # range / skewed joins
+        z_value, zorder_layout,                           # z-order layout
     )
+
+Resolution is LAZY (PEP 562 module ``__getattr__``): importing any single
+operator module (what every pickled Arrow kernel makes the Python workers
+do, e.g. ``operators.extract``) must not drag the whole package in. The
+wall cost today is dominated by pandas (~0.85 s/worker, paid either way),
+but eager re-exports couple every worker to every operator module — one
+import error or heavy new dependency anywhere in the package would break
+or slow ALL kernels; lazily, a worker imports exactly its own module's
+dependency closure.
 """
 
-from .dedup import (  # noqa: F401
-    band_index,
-    cross_doc_contamination,
-    dedup_exact,
-    dedup_incremental,
-    dedup_near,
-    lsh_band_stats,
-    lsh_candidate_pairs,
-    ngram_jaccard_pairs,
-    simhash_buckets,
-)
-from .errors import (  # noqa: F401
-    categorize_errors,
-    confidence_vs_errors,
-    error_distribution,
-    error_severity_rollup,
-    field_success_summary,
-    save_error_report,
-)
-from .blocks import (  # noqa: F401
-    extract_block_features,
-    fit_path_nb_weights,
-    hashed_path_features,
-    path_nb_score,
-)
-from .decontam import (  # noqa: F401
-    benchmark_contamination,
-    benchmark_ngram_index,
-    decontaminate,
-)
-from .extract import extract_pages, pseudo_labels, salted_repartition  # noqa: F401
-from .fuzzy import fuzzy_join, validate_sellers  # noqa: F401
-from .line_dedup import dedup_lines, line_frequencies  # noqa: F401
-from .lm_score import fit_unigram_lm, lm_quality, lm_quality_buckets  # noqa: F401
-from .multimodal import extract_features, frame_sample, media_stats  # noqa: F401
-from .packing import pack_documents, pack_stats, packing_summary  # noqa: F401
-from .pq import (  # noqa: F401
-    fit_pq_codebooks,
-    ivf_pq_index,
-    ivf_pq_topk,
-    pq_adc_distance,
-    pq_encode,
-    pq_topk,
-)
-from .sampling import hash_quota_sample, hash_split, mixture_sample  # noqa: F401
-from .range_join import interval_join  # noqa: F401
-from .sketches import (  # noqa: F401
-    distinct_sketches,
-    merge_distinct_estimate,
-    merge_quantile_estimate,
-    quantile_sketches,
-)
-from .skew import key_skew_report, salted_join  # noqa: F401
-from .zorder import z_value, zorder_layout  # noqa: F401
-from .similarity import (  # noqa: F401
-    brute_force_topk,
-    embedding_topk_pairs,
-    fit_ivf_centroids,
-    ivf_topk,
-    lsh_topk,
-    pairwise_topk_per_label,
-)
+import importlib
+
+_EXPORTS = {
+    # dedup
+    "band_index": ".dedup",
+    "cross_doc_contamination": ".dedup",
+    "dedup_exact": ".dedup",
+    "dedup_incremental": ".dedup",
+    "dedup_near": ".dedup",
+    "lsh_band_stats": ".dedup",
+    "lsh_candidate_pairs": ".dedup",
+    "ngram_jaccard_pairs": ".dedup",
+    "simhash_buckets": ".dedup",
+    # errors
+    "categorize_errors": ".errors",
+    "confidence_vs_errors": ".errors",
+    "error_distribution": ".errors",
+    "error_severity_rollup": ".errors",
+    "field_success_summary": ".errors",
+    "save_error_report": ".errors",
+    # blocks
+    "extract_block_features": ".blocks",
+    "fit_path_nb_weights": ".blocks",
+    "hashed_path_features": ".blocks",
+    "path_nb_score": ".blocks",
+    # decontam
+    "benchmark_contamination": ".decontam",
+    "benchmark_ngram_index": ".decontam",
+    "decontaminate": ".decontam",
+    # extract
+    "extract_pages": ".extract",
+    "pseudo_labels": ".extract",
+    "salted_repartition": ".extract",
+    # fuzzy
+    "fuzzy_join": ".fuzzy",
+    "validate_sellers": ".fuzzy",
+    # line dedup
+    "dedup_lines": ".line_dedup",
+    "line_frequencies": ".line_dedup",
+    # LM scoring
+    "fit_unigram_lm": ".lm_score",
+    "lm_quality": ".lm_score",
+    "lm_quality_buckets": ".lm_score",
+    # multimodal
+    "extract_features": ".multimodal",
+    "frame_sample": ".multimodal",
+    "media_stats": ".multimodal",
+    # packing
+    "pack_documents": ".packing",
+    "pack_stats": ".packing",
+    "packing_summary": ".packing",
+    # product quantization
+    "fit_pq_codebooks": ".pq",
+    "ivf_pq_index": ".pq",
+    "ivf_pq_topk": ".pq",
+    "pq_adc_distance": ".pq",
+    "pq_encode": ".pq",
+    "pq_topk": ".pq",
+    # range join
+    "interval_join": ".range_join",
+    # sampling
+    "hash_quota_sample": ".sampling",
+    "hash_split": ".sampling",
+    "mixture_sample": ".sampling",
+    # sketches
+    "distinct_sketches": ".sketches",
+    "merge_distinct_estimate": ".sketches",
+    "merge_quantile_estimate": ".sketches",
+    "quantile_sketches": ".sketches",
+    # skew
+    "key_skew_report": ".skew",
+    "salted_join": ".skew",
+    # similarity
+    "brute_force_topk": ".similarity",
+    "embedding_topk_pairs": ".similarity",
+    "fit_ivf_centroids": ".similarity",
+    "ivf_topk": ".similarity",
+    "lsh_topk": ".similarity",
+    "pairwise_topk_per_label": ".similarity",
+    # z-order
+    "z_value": ".zorder",
+    "zorder_layout": ".zorder",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    value = getattr(importlib.import_module(mod, __name__), name)
+    globals()[name] = value  # cache: subsequent lookups skip __getattr__
+    return value
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
