@@ -23,13 +23,16 @@ WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
 from invoice_extraction_spark.session import get_spark
+from invoice_extraction_spark.corpus import synth_pages_spark
 from invoice_extraction_spark.operators.extract import extract_pages
 
 cpus = int(sys.argv[1]); corpus = sys.argv[2]; reps = int(sys.argv[3])
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 8))
 spark.sparkContext.setLogLevel("ERROR")
-spark.range(1000).selectExpr("sum(id)").collect()  # warm JVM + py workers
+# warm JVM codegen AND the Python workers through the real Arrow codepath
+# (each fresh worker pays ~0.85 s of pandas import — keep it out of reps)
+extract_pages(synth_pages_spark(spark, 8 * cpus, partitions=cpus)).count()
 src = spark.read.parquet(corpus)
 n = src.count()
 walls = []
