@@ -1470,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(),
         "media_stats": """
             SELECT media_type, codec, CAST(n AS BIGINT) AS n
-            FROM (VALUES ('audio', 'opus', 21), ('image', 'png', 22),
+            FROM (VALUES ('audio', 'wav', 21), ('image', 'png', 22),
                          ('video', 'av1', 21)) AS t(media_type, codec, n)
             ORDER BY media_type, codec
         """,

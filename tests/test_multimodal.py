@@ -151,7 +151,7 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     assert "payload" not in rs, rs
     got = {(r["media_type"], r["codec"]): r["n"] for r in q.collect()}
     assert got[("image", "png")] == 16
-    assert got[("audio", "opus")] == 16
+    assert got[("audio", "wav")] == 16
     assert got[("video", "av1")] == 16
 
 
@@ -204,3 +204,60 @@ def test_resize_images_poison_payload_degrades_to_error_row(spark):
     )
     r = resize_images(df).first()
     assert r["payload"] is None and "ValueError" in r["error"]
+
+
+def test_audio_rows_are_real_wav(spark):
+    """Round 3: audio payloads are genuine PCM WAV — decoded duration
+    equals the planted meta duration, and the RMS envelope matches an
+    independent recomputation from the generator's sample formula."""
+    import hashlib as _hl
+    import struct as _struct
+
+    from invoice_extraction_spark.operators.multimodal import (
+        AUDIO_SAMPLE_RATE,
+        FEATURE_DIM,
+        _decode_audio,
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    rows = {r["media_id"]: r for r in media.filter("media_type = 'audio'").collect()}
+    assert rows  # i % 3 == 1 rows
+    for mid, r in rows.items():
+        payload = bytes(r["payload"])
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        dur, env = _decode_audio(payload)
+        assert dur == r["meta"]["duration_ms"]
+        assert len(env) == FEATURE_DIM and any(v > 0 for v in env)
+
+        # independent envelope twin from the generator's sample formula
+        h = _hl.sha256(f"42:{mid}".encode()).digest()
+        dur_ms = 1000 + h[2] * 37
+        n_samp = AUDIO_SAMPLE_RATE * dur_ms // 1000
+        amp = 256 + h[5] * 32
+        samples = [((j * (3 + h[6] % 5)) % 256 - 128) * amp // 128 for j in range(n_samp)]
+        seg = max(len(samples) // FEATURE_DIM, 1)
+        want = []
+        for i in range(FEATURE_DIM):
+            chunk = samples[i * seg : (i + 1) * seg]
+            rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5 if chunk else 0.0
+            want.append(round(rms / 32768.0, 6))
+        assert env == want
+
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media).filter("media_type = 'audio'").collect()
+    }
+    for mid in rows:
+        _dur, env = _decode_audio(bytes(rows[mid]["payload"]))
+        assert [round(v, 6) for v in feats[mid]] == env
+
+
+def test_non_wav_audio_is_loud():
+    from invoice_extraction_spark.operators.multimodal import _decode_audio
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_audio(b"OggS fake opus container bytes")
