@@ -87,12 +87,28 @@ def canonical_url(url: Column | str) -> Column:
 
 
 def dedup_by_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Keep one row per canonical url (min original url wins — deterministic).
-    The cheap first dedup tier every crawl pipeline runs BEFORE text hashing:
-    one hash-groupBy shuffle on short canonical strings."""
-    keyed = df.withColumn("_canon", canonical_url(F.col(url_col)))
-    keep = keyed.groupBy("_canon").agg(F.min(url_col).alias(url_col))
-    return df.join(keep, url_col, "left_semi")
+    """Keep EXACTLY one row per canonical url (min original url wins; ties on
+    the url string — the same URL crawled twice, common in crawl data — break
+    by a deterministic whole-row fingerprint, so re-runs and repartitionings
+    pick the same survivor). The cheap first dedup tier every crawl pipeline
+    runs BEFORE text hashing: the groupBy shuffles only short
+    (canon, url, fp) strings; the semi-join keys on the unique fingerprint so
+    duplicate-url rows cannot all sneak through."""
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    keyed = df.withColumn("_fp", fp)
+    keep = (
+        keyed.select(canonical_url(F.col(url_col)).alias("_canon"), url_col, "_fp")
+        .groupBy("_canon")
+        .agg(
+            F.min_by(
+                F.col("_fp"), F.struct(F.col(url_col), F.col("_fp"))
+            ).alias("_fp")
+        )
+        .select("_fp")
+    )
+    # byte-identical rows share a fingerprint — collapse them too (the pick
+    # is trivially deterministic: the rows are equal)
+    return keyed.join(keep, "_fp", "left_semi").dropDuplicates(["_fp"]).drop("_fp")
 
 
 def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:

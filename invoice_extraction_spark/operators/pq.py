@@ -114,7 +114,10 @@ def pq_adc_distance(
                 for cent in book
             ]
         )
-        total = total + F.try_element_at(lut, F.try_element_at(cc, F.lit(mi + 1)) + 1)
+        # cast: tolerate array<bigint> code columns (element_at wants INT)
+        total = total + F.try_element_at(
+            lut, (F.try_element_at(cc, F.lit(mi + 1)) + 1).cast("int")
+        )
     return total
 
 
@@ -180,6 +183,6 @@ def pq_topk(
             id_col,
             F.round(pq_adc_distance(codes_col, query, codebooks), 6).alias("adc_dist"),
         )
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
         .limit(k)
     )

@@ -100,10 +100,15 @@ def _file_survives_prune(stats_for_file: dict | None, prune: dict) -> bool:
         fmin, fmax = rng
         lo_v = _stats_value(lo) if lo is not None else None
         hi_v = _stats_value(hi) if hi is not None else None
-        if lo_v is not None and fmax < lo_v:
-            return False
-        if hi_v is not None and fmin > hi_v:
-            return False
+        # Incomparable types (e.g. int bound vs ISO-string stat) must keep
+        # the file, not crash read planning — skipping stays conservative.
+        try:
+            if lo_v is not None and fmax < lo_v:
+                return False
+            if hi_v is not None and fmin > hi_v:
+                return False
+        except TypeError:
+            continue
     return True
 
 

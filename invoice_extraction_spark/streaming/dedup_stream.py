@@ -56,10 +56,25 @@ def run_dedup_stream(
         ]
     )
 
+    # Heal FIRST: if a prior run died between commit_append and the index
+    # append, the replay guard below would skip the batch and the index
+    # would permanently miss those documents. Re-derive the missing band
+    # rows from the committed table before draining new batches.
+    if list_manifests(table_dir):
+        heal_index(
+            spark,
+            table_dir,
+            index_dir,
+            text_col=text_col,
+            id_col=id_col,
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+        )
+
     def _sink(batch_df, batch_id: int) -> None:
         run_id = f"dedup-{batch_id}"
         if any(m["run_id"] == run_id for m in list_manifests(table_dir)):
-            return  # replayed batch: survivors AND index rows already landed
+            return  # replayed batch: survivors already landed; index healed above
         batch = dedup_exact(batch_df, text_col=text_col, id_col=id_col)
         if os.path.isdir(index_dir) and any(
             f.endswith(".parquet")

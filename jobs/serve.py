@@ -97,13 +97,21 @@ def _multipart_payload(body: bytes, content_type: str) -> bytes:
     textarea) — stdlib-only, enough for the single form above."""
     if "multipart/form-data" not in content_type:
         return body
-    boundary = content_type.split("boundary=")[-1].strip().encode()
+    boundary = content_type.split("boundary=")[-1].strip().strip('"').encode()
+    # RFC 2046: parts are delimited by CRLF + "--" + boundary, so splitting on
+    # that exact sequence leaves each payload byte-exact (no rstrip — PDFs
+    # legitimately end in '-'/CR/LF bytes). Prepend CRLF so the leading
+    # delimiter matches too; the closing delimiter starts with "--".
+    delim = b"\r\n--" + boundary
     best = b""
-    for part in body.split(b"--" + boundary):
+    for part in (b"\r\n" + body).split(delim)[1:]:
+        if part.startswith(b"--"):
+            break  # closing delimiter — everything after is epilogue
+        if part.startswith(b"\r\n"):
+            part = part[2:]
         if b"\r\n\r\n" not in part:
             continue
         head, payload = part.split(b"\r\n\r\n", 1)
-        payload = payload.rstrip(b"\r\n-")
         if b'name="page"' in head and payload.strip():
             return payload
         if b'name="source"' in head and payload.strip():

@@ -60,6 +60,29 @@ def test_cross_batch_near_dup_dropped_and_replay_idempotent(spark, tmp_path):
     assert ids == {"u0", "u2", "u4"}
 
 
+def test_stream_start_heals_crash_window(spark, tmp_path):
+    """Crash between commit_append and the index append: the committed docs
+    are missing from the band index. The NEXT run_dedup_stream call must
+    heal the index before draining new batches, so future near-dups of the
+    lost documents are still caught (ADVICE r3: run_dedup_stream never
+    called heal_index)."""
+    import shutil
+
+    src, tbl, idx, ckpt = _dirs(tmp_path)
+    _write_batch(spark, src, "b0", [("u0", BASE), ("u2", "other words here")])
+    run_dedup_stream(spark, src, tbl, idx, ckpt)
+    # simulate dying right after the survivor commit: index rows lost
+    shutil.rmtree(idx)
+
+    # next stream start drains a near-dup of the lost u0
+    _write_batch(spark, src, "b1", [("u3", BASE.replace("today", "tonight"))])
+    run_dedup_stream(spark, src, tbl, idx, ckpt)
+    got = sorted(r["url"] for r in read_table(spark, tbl).collect())
+    assert got == ["u0", "u2"]  # u3 caught ONLY because the start healed
+    ids = {r["id"] for r in spark.read.parquet(idx).collect()}
+    assert ids == {"u0", "u2"}
+
+
 def test_heal_index_recovers_missing_rows(spark, tmp_path):
     src, tbl, idx, ckpt = _dirs(tmp_path)
     _write_batch(spark, src, "b0", [("u0", BASE), ("u2", "other words here")])

@@ -114,3 +114,23 @@ def test_extract_job_records_stats(spark, tmp_path):
     assert set(some) == {"url"}
     lo, hi = some["url"]
     assert lo.startswith("https://") and lo <= hi
+
+
+def test_incomparable_prune_bound_keeps_file(spark, table):
+    """A type-mismatched bound (int stat vs string bound) must fall back to
+    'cannot skip', never crash read planning (ADVICE r3: raw < / > raised
+    TypeError)."""
+    out = read_table(spark, table, prune={"doc_id": ("abc", "zzz")})
+    assert len(out.inputFiles()) == 10  # conservative: nothing skipped
+    assert out.count() == 1000
+
+
+def test_incomparable_prune_unit():
+    from invoice_extraction_spark.sources.atomic import _file_survives_prune
+
+    stats = {"doc_id": [0, 99], "ts": ["2024-01-01", "2024-01-31"]}
+    # int bound against string stat and vice versa: keep the file
+    assert _file_survives_prune(stats, {"ts": (5, 10)})
+    assert _file_survives_prune(stats, {"doc_id": ("a", "b")})
+    # a comparable column alongside an incomparable one still prunes
+    assert not _file_survives_prune(stats, {"doc_id": (500, 600), "ts": (5, 10)})

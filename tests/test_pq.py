@@ -143,3 +143,20 @@ def test_frozen_codebooks_usable(spark, emb):
     q = [float(v) for v in emb.filter("vec_id = 3").collect()[0]["embedding"]]
     top = [r["vec_id"] for r in pq_topk(coded, q, FROZEN_PQ_CODEBOOKS, k=5).collect()]
     assert 3 in top
+
+
+def test_pq_topk_null_distances_sort_last(spark, books):
+    """Malformed/short code arrays yield NULL ADC distance; ascending sort
+    is NULLS FIRST in Spark, so without asc_nulls_last corrupt rows would
+    head the top-k (ADVICE r3)."""
+    m = len(books)
+    good = [[i % 4 for _ in range(m)] for i in range(5)]
+    rows = [(f"v{i}", c) for i, c in enumerate(good)] + [
+        ("corrupt_short", [1]),       # too few codes -> try_element_at null
+        ("corrupt_empty", []),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "pq_codes"])
+    q = [0.1] * (m * len(books[0][0]))
+    top = pq_topk(df, q, books, k=3).collect()
+    assert all(r["adc_dist"] is not None for r in top)
+    assert not any(r["vec_id"].startswith("corrupt") for r in top)

@@ -91,3 +91,36 @@ def test_extract_one_handles_pdf(spark):
     result = extract_one(spark, doc["html"])
     assert result["error"] is None
     assert result["fields"]["invoice_id"]["value"] == doc["truth"]["invoice_id"]
+
+
+def test_multipart_payload_byte_exact_for_binary():
+    """Binary payloads ending in '-'/CR/LF bytes (real PDFs can) must come
+    through byte-exact — ADVICE r3: rstrip(b'\\r\\n-') truncated them."""
+    from jobs.serve import _multipart_payload
+
+    boundary = "XBOUNDARYX"
+    payload = b"%PDF-1.4\x00\x01tricky tail-\r\n-"  # ends in -, CR, LF, -
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="page"; filename="p.pdf"\r\n'
+        "Content-Type: application/pdf\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    got = _multipart_payload(body, f"multipart/form-data; boundary={boundary}")
+    assert got == payload
+
+
+def test_multipart_prefers_file_part_and_quoted_boundary():
+    from jobs.serve import _multipart_payload
+
+    boundary = "qQq"
+    body = (
+        b"--qQq\r\n"
+        b'Content-Disposition: form-data; name="source"\r\n\r\n'
+        b"textarea fallback\r\n"
+        b"--qQq\r\n"
+        b'Content-Disposition: form-data; name="page"; filename="f"\r\n\r\n'
+        b"file wins\r\n"
+        b"--qQq--\r\n"
+    )
+    got = _multipart_payload(body, 'multipart/form-data; boundary="qQq"')
+    assert got == b"file wins"

@@ -66,6 +66,37 @@ def test_dedup_by_canonical_url_keeps_one_variant(spark):
     assert kept == ["http://H.IO:80/p?a=1#frag", "http://h.io/p?a=2"]
 
 
+def test_dedup_by_canonical_url_collapses_exact_duplicate_urls(spark):
+    """The same URL crawled twice (common in crawl data) must collapse to
+    ONE row — ADVICE r3: the url-string semi-join kept every copy."""
+    urls = [
+        "http://h.io/p?a=1",
+        "http://h.io/p?a=1",  # exact duplicate crawl
+        "http://h.io/p?a=1",  # and again
+        "http://h.io/p?a=2",
+    ]
+    kept = sorted(r["url"] for r in dedup_by_canonical_url(_df(spark, urls)).collect())
+    assert kept == ["http://h.io/p?a=1", "http://h.io/p?a=2"]
+
+
+def test_dedup_by_canonical_url_duplicate_urls_distinct_payloads(spark):
+    """Duplicate urls with DIFFERENT other columns: exactly one survives and
+    the pick is deterministic (min url, then min whole-row fingerprint)."""
+    rows = [
+        ("http://h.io/p", "crawl-a"),
+        ("http://h.io/p", "crawl-b"),
+        ("http://h.io/q", "only"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "payload"])
+    got1 = sorted(map(tuple, dedup_by_canonical_url(df).collect()))
+    got2 = sorted(
+        map(tuple, dedup_by_canonical_url(df.repartition(7, "payload")).collect())
+    )
+    assert len(got1) == 2
+    assert got1 == got2  # partitioning-independent survivor choice
+    assert {u for u, _ in got1} == {"http://h.io/p", "http://h.io/q"}
+
+
 def test_host_stats_rollup(spark):
     urls = ["http://a.io/1", "http://a.io/2", "https://b.io/1"]
     got = {r["host"]: r["n_docs"] for r in host_stats(_df(spark, urls)).collect()}
