@@ -13,8 +13,10 @@ the same corpus always trains the same vocabulary — the merge table is
 freezable exactly like the IVF centroids / PQ codebooks.
 
 Scale shape: training runs driver-side on a hash-sampled word-frequency
-table (ONE groupBy over the sample — pair statistics converge like any
-count statistic); encoding is a ``pandas_udf`` whose per-word LRU cache
+table (ONE groupBy over the sample, pruned to the top-K head forms INSIDE
+Spark before the collect — pair statistics converge like any count
+statistic, and merges only ever come from the head of the Zipfian
+distribution); encoding is a ``pandas_udf`` whose per-word LRU cache
 exploits the Zipfian reality that a handful of word forms dominate any
 web corpus (cache hit rates >99% in practice), so the per-document cost
 is a dict lookup per word, not a merge loop.
@@ -33,19 +35,37 @@ END = "</w>"  # word terminator symbol (Sennrich-style)
 
 
 def _word_freqs_spark(
-    df: DataFrame, text_col: str, sample_fraction: float | None, seed: int
+    df: DataFrame,
+    text_col: str,
+    sample_fraction: float | None,
+    seed: int,
+    min_count: int = 1,
+    top_k: int | None = 100_000,
 ) -> dict[str, int]:
+    """Word-frequency table for BPE training, PRUNED INSIDE SPARK before the
+    driver collect (mirrors ``lm_score.fit_unigram_lm``'s top-K vocab): a
+    web-scale sample has tens of millions of distinct "words" (URLs-in-text,
+    hashes, typos) and ``sample_fraction`` bounds rows scanned, not distinct
+    words. BPE only ever merges pairs from the HEAD of the Zipfian
+    distribution, so ``min_count`` + deterministic top-K (n desc, word asc —
+    a TakeOrderedAndProject, never a full sort) bound the driver at
+    ``top_k`` rows with no effect on the merges any realistic ``n_merges``
+    selects."""
     src = df
     if sample_fraction is not None:
         bucket = F.pmod(F.xxhash64(F.col(text_col), F.lit(seed)), F.lit(1000))
         src = df.filter(bucket < int(sample_fraction * 1000))
-    rows = (
+    agg = (
         src.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .collect()
     )
+    if min_count > 1:
+        agg = agg.filter(F.col("n") >= min_count)
+    if top_k is not None:
+        agg = agg.orderBy(F.desc("n"), F.asc("w")).limit(top_k)
+    rows = agg.collect()
     return {r["w"]: int(r["n"]) for r in rows}
 
 
@@ -89,11 +109,16 @@ def fit_bpe(
     n_merges: int = 512,
     sample_fraction: float | None = None,
     seed: int = 42,
+    min_count: int = 1,
+    top_k: int | None = 100_000,
 ) -> list[tuple[str, str]]:
     """Train merges on the corpus (hash-sampled when ``sample_fraction``
-    is set — the 100-TB path). Output is a plain literal, freezable."""
+    is set; word table pruned to ``top_k`` head forms inside Spark — the
+    100-TB path keeps the driver bounded regardless of distinct-word
+    count). Output is a plain literal, freezable."""
     return train_bpe_merges(
-        _word_freqs_spark(df, text_col, sample_fraction, seed), n_merges
+        _word_freqs_spark(df, text_col, sample_fraction, seed, min_count, top_k),
+        n_merges,
     )
 
 
@@ -148,6 +173,16 @@ def bpe_token_count_udf(merges: list[tuple[str, str]]):
         return texts.map(doc)
 
     return _count
+
+
+def frozen_bpe_token_count():
+    """The default token-economics Column factory: ``bpe_token_count_udf``
+    bound to the FROZEN corpus-trained merge table
+    (``bpe_merges.FROZEN_BPE_MERGES`` — scripts/freeze_bpe_merges.py).
+    Real BPE counts, deterministic across runs, replayable driver-side."""
+    from .bpe_merges import FROZEN_BPE_MERGES
+
+    return bpe_token_count_udf(FROZEN_BPE_MERGES)
 
 
 def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:

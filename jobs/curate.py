@@ -87,6 +87,12 @@ def main(argv=None):
     ap.add_argument("--mixture", default=None, help="stratum=fraction[,...] deterministic down-sampling")
     ap.add_argument("--stratum-col", default="source")
     ap.add_argument("--pack-budget", type=int, default=None, help="emit pack_id/pack_seq/pack_offset for this token budget")
+    ap.add_argument(
+        "--token-counter",
+        choices=["bpe", "whitespace"],
+        default="bpe",
+        help="token economics for packing: frozen-BPE counts (default) or whitespace estimate",
+    )
     ap.add_argument("--no-counts", action="store_true", help="skip per-stage retention counts (single-pass commit)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -194,7 +200,16 @@ def main(argv=None):
         from invoice_extraction_spark.operators.packing import pack_documents
 
         if "n_tokens" not in df.columns:
-            df = df.withColumn("n_tokens", token_count(F.col(text_col)))
+            if args.token_counter == "bpe":
+                from invoice_extraction_spark.functions.bpe import (
+                    frozen_bpe_token_count,
+                )
+
+                df = df.withColumn(
+                    "n_tokens", frozen_bpe_token_count()(F.col(text_col))
+                )
+            else:
+                df = df.withColumn("n_tokens", token_count(F.col(text_col)))
         shard = args.stratum_col if args.stratum_col in df.columns else id_col
         df = pack_documents(
             df, "n_tokens", budget=args.pack_budget, shard_col=shard, order_col=id_col

@@ -40,6 +40,12 @@ def main(argv=None):
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--stratum-col", default="source")
     ap.add_argument("--lang-col", default="lang")
+    ap.add_argument(
+        "--token-counter",
+        choices=["bpe", "whitespace"],
+        default="bpe",
+        help="token economics: real frozen-BPE counts (default) or the whitespace estimate",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -58,7 +64,13 @@ def main(argv=None):
     spark = get_spark(app_name="datacard-job", master=args.master)
     df = read_table(spark, args.table)
     text = F.col(args.text_col)
-    enriched = df.withColumn("_tok", token_count(text)).withColumn(
+    if args.token_counter == "bpe":
+        from invoice_extraction_spark.functions.bpe import frozen_bpe_token_count
+
+        _tok_expr = frozen_bpe_token_count()(text)
+    else:
+        _tok_expr = token_count(text)
+    enriched = df.withColumn("_tok", _tok_expr).withColumn(
         "_q", quality_score(text)
     ).withColumn("_rep_ok", repetition_keep(text).cast("double"))
 
@@ -94,6 +106,7 @@ def main(argv=None):
         "snapshots": [m["run_id"] for m in manifests],
         "n_docs": totals["n_docs"],
         "n_tokens": totals["n_tokens"],
+        "token_counter": args.token_counter,
         "n_chars": totals["n_chars"],
         "token_quantiles": {
             p: float(v)

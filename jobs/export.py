@@ -40,6 +40,14 @@ def main(argv=None):
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--max-records-per-file", type=int, default=None)
     ap.add_argument("--compress", default=None, help="e.g. gzip (jsonl), zstd/snappy (parquet)")
+    ap.add_argument(
+        "--token-counts",
+        choices=["bpe", "whitespace", "none"],
+        default="bpe",
+        help="attach an n_tokens column when absent: frozen-BPE counts "
+        "(default), whitespace estimate, or none",
+    )
+    ap.add_argument("--text-col", default="text", help="text column for --token-counts")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -53,6 +61,27 @@ def main(argv=None):
     df = read_table(spark, args.table)
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",")])
+    if args.token_counts != "none" and "n_tokens" not in df.columns:
+        # default token economics: loaders get real per-doc counts for
+        # budget math without re-tokenizing the export
+        tcol = args.text_col if args.text_col in df.columns else (
+            "extracted_text" if "extracted_text" in df.columns else None
+        )
+        if tcol is not None:
+            from pyspark.sql import functions as F
+
+            if args.token_counts == "bpe":
+                from invoice_extraction_spark.functions.bpe import (
+                    frozen_bpe_token_count,
+                )
+
+                df = df.withColumn("n_tokens", frozen_bpe_token_count()(F.col(tcol)))
+            else:
+                from invoice_extraction_spark.functions.text_metrics import (
+                    token_count,
+                )
+
+                df = df.withColumn("n_tokens", token_count(F.col(tcol)))
     if args.shard_by:
         df = df.repartitionByRange(args.shards, args.shard_by).sortWithinPartitions(
             args.shard_by

@@ -83,3 +83,94 @@ def test_real_counts_drive_packing(spark):
         "avg(length(text)) AS c",
     ).collect()[0]
     assert row["w"] < row["t"] < row["c"]
+
+
+def test_fit_prunes_word_table_inside_spark(spark):
+    """VERDICT r3 #1: a corpus with >=1e5 distinct junk tokens (URLs, hashes,
+    typos) must NOT reach the driver in full — the word table is pruned to
+    top_k INSIDE Spark, and the merges still come from the head of the
+    distribution."""
+    from invoice_extraction_spark.functions.bpe import _word_freqs_spark
+
+    n_junk = 120_000
+    junk = spark.range(n_junk).select(
+        F.concat(F.lit("junk"), F.md5(F.col("id").cast("string"))).alias("text")
+    )
+    common = spark.range(500).select(
+        F.lit("lowest newest widest lowest lowest").alias("text")
+    )
+    corpus = junk.unionByName(common)
+
+    freqs = _word_freqs_spark(corpus, "text", None, 42, top_k=500)
+    assert len(freqs) <= 500  # driver sees at most top_k rows
+    assert "lowest" in freqs and freqs["lowest"] == 1500  # head survives intact
+
+    # min_count alone also bounds the junk tail (each junk token appears once)
+    freqs_mc = _word_freqs_spark(corpus, "text", None, 42, min_count=2, top_k=None)
+    assert set(freqs_mc) == {"lowest", "newest", "widest"}
+
+    # merges trained on the pruned table == merges on the exact table for a
+    # head-dominated corpus (junk singletons never win a merge anyway)
+    pruned_merges = fit_bpe(corpus, n_merges=8, top_k=500)
+    head_only = spark.createDataFrame(
+        [("lowest newest widest lowest lowest",)] * 500, ["text"]
+    )
+    assert pruned_merges[:4] == fit_bpe(head_only, n_merges=8)[:4]
+
+
+def test_fit_default_prune_is_noop_on_small_corpus(spark):
+    """Textbook/small corpora sit far below the default top_k — merges are
+    byte-identical with and without the prune."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert fit_bpe(docs, n_merges=64) == fit_bpe(docs, n_merges=64, top_k=None)
+
+
+# --- frozen merge table (scripts/freeze_bpe_merges.py) ---------------------
+
+
+def test_frozen_merges_replay_from_recorded_params(spark):
+    """The frozen literal module regenerates bit-identically from its own
+    recorded fit parameters (the IVF/PQ freeze discipline)."""
+    from invoice_extraction_spark.functions.bpe_merges import (
+        FROZEN_BPE_FIT,
+        FROZEN_BPE_MERGES,
+    )
+
+    docs = spark.read.parquet(f"{FROZEN_BPE_FIT['sf_dir']}/documents.parquet")
+    again = fit_bpe(
+        docs,
+        n_merges=FROZEN_BPE_FIT["n_merges"],
+        seed=FROZEN_BPE_FIT["seed"],
+        top_k=FROZEN_BPE_FIT["top_k"],
+    )
+    assert again == FROZEN_BPE_MERGES
+
+
+def test_frozen_udf_matches_python_twin_on_golden_corpus(spark):
+    """Default token economics (frozen-BPE UDF, as wired into datacard/
+    export/packing) == an independent pure-Python replay of the same merge
+    table over the GOLDEN extraction corpus — the parity bar VERDICT r3 #4
+    asks for."""
+    import json
+
+    from invoice_extraction_spark.functions.bpe import frozen_bpe_token_count
+    from invoice_extraction_spark.functions.bpe_merges import FROZEN_BPE_MERGES
+
+    goldens = json.load(open("tests/golden/goldens.json"))
+    rows = [(u, g["extracted_text"]) for u, g in sorted(goldens.items())]
+    ranks = {p: i for i, p in enumerate(FROZEN_BPE_MERGES)}
+
+    def twin(text):
+        return sum(
+            len(encode_word(w, ranks)) for w in text.lower().split(" ") if w
+        )
+
+    got = {
+        r["url"]: r["n"]
+        for r in spark.createDataFrame(rows, ["url", "text"])
+        .select("url", frozen_bpe_token_count()(F.col("text")).alias("n"))
+        .collect()
+    }
+    want = {u: twin(t) for u, t in rows}
+    assert got == want
+    assert sum(want.values()) > 0

@@ -57,7 +57,10 @@ def test_jsonl_round_trip_with_compression(spark, table, tmp_path, capsys):
     rows = _read_jsonl_dir(out)
     assert len(rows) == 200
     assert {r["doc_id"] for r in rows} == set(range(200))
-    assert all(set(r) == {"doc_id", "extracted_text", "pack_id"} for r in rows)
+    # n_tokens rides along by default (frozen-BPE token economics)
+    assert all(
+        set(r) == {"doc_id", "extracted_text", "pack_id", "n_tokens"} for r in rows
+    )
 
 
 def test_max_records_per_file(spark, table, tmp_path, capsys):
@@ -92,3 +95,30 @@ def test_reexport_is_deterministic(spark, table, tmp_path, capsys):
     a, b = export("a"), export("b")
     assert list(a) == list(b)  # same shard indices
     assert a == b  # byte-identical shard contents per index
+
+
+def test_export_attaches_frozen_bpe_token_counts_by_default(spark, table, tmp_path, capsys):
+    """Default token economics (VERDICT r3 #4): exports carry an n_tokens
+    column computed with the FROZEN BPE merges unless --token-counts none."""
+    from invoice_extraction_spark.functions.bpe import encode_word
+    from invoice_extraction_spark.functions.bpe_merges import FROZEN_BPE_MERGES
+    from jobs.export import main
+
+    out = str(tmp_path / "tok")
+    main(["--table", table, "--out", out])
+    capsys.readouterr()
+    rows = _read_jsonl_dir(out)
+    assert rows and all("n_tokens" in r for r in rows)
+    ranks = {p: i for i, p in enumerate(FROZEN_BPE_MERGES)}
+    r0 = rows[0]
+    want = sum(
+        len(encode_word(w, ranks))
+        for w in r0["extracted_text"].lower().split(" ")
+        if w
+    )
+    assert r0["n_tokens"] == want
+
+    out2 = str(tmp_path / "notok")
+    main(["--table", table, "--out", out2, "--token-counts", "none"])
+    capsys.readouterr()
+    assert all("n_tokens" not in r for r in _read_jsonl_dir(out2))
