@@ -1,0 +1,265 @@
+"""Sketch-backed incremental datacard stats: O(delta) per snapshot.
+
+``jobs/datacard.py``'s full mode aggregates the whole table every run —
+right for a one-off release card, wrong as a standing dashboard over a
+growing 10^12-doc corpus (run N rescans N-1 snapshots' rows). This module
+keeps a tiny per-snapshot stats store next to the table and answers the
+card by MERGING stats, never rereading history:
+
+  stats_dir/
+    agg/   one row per snapshot: exact additive scalars (docs, tokens,
+           chars, quality/repetition sums), a KLL sketch of per-doc token
+           counts (mergeable quantiles), per-language / per-stratum
+           count maps (JSON — merged by key addition)
+    cms/   count-min sketch rows (depth, bucket, n) over document tokens
+    cand/  the snapshot's local top-N tokens (heavy-hitter candidates)
+
+``update_card_stats`` reads ONLY snapshots without a stats row
+(``sources.atomic.read_snapshot_delta`` — the per-snapshot incremental
+read), so each run scans the delta, test-asserted via inputFiles counts.
+``card_from_stats`` folds the store: sums are EXACT (addition commutes),
+quantiles come from the KLL union, top terms from the merged CMS ranked
+over the unioned candidates. Compaction snapshots rewrite history and
+append nothing — they are skipped (recorded with zero rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_metrics import quality_score, repetition_keep, token_count
+from ..sources.atomic import list_manifests, read_snapshot_delta
+from .cms import (
+    DEFAULT_DEPTH,
+    DEFAULT_WIDTH,
+    cms_heavy_hitters,
+    cms_merge,
+    cms_sketch,
+    local_top_candidates,
+)
+
+TOP_N_CANDIDATES = 256
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """Space-split lowercase tokens — the same pre-tokenization the BPE /
+    LM operators use, so term stats line up with token economics."""
+    return df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("value")
+    ).filter(F.col("value") != "")
+
+
+def _token_count_col(text_col: str, token_counter: str):
+    if token_counter == "bpe":
+        from ..functions.bpe import frozen_bpe_token_count
+
+        return frozen_bpe_token_count()(F.col(text_col))
+    return token_count(F.col(text_col))
+
+
+def _split_json(delta: DataFrame, col: str) -> str:
+    """Per-value (n_docs, n_tokens) for one snapshot as a JSON object —
+    merged across snapshots by key-wise addition (tiny: one row per
+    language / stratum)."""
+    if col not in delta.columns:
+        return "{}"
+    rows = (
+        delta.groupBy(col)
+        .agg(F.count("*").alias("d"), F.sum("_tok").cast("bigint").alias("t"))
+        .collect()
+    )
+    return json.dumps(
+        {str(r[col]): [int(r["d"]), int(r["t"])] for r in rows}, sort_keys=True
+    )
+
+
+def update_card_stats(
+    spark: SparkSession,
+    table_dir: str,
+    stats_dir: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    stratum_col: str = "source",
+    token_counter: str = "bpe",
+    cms_depth: int = DEFAULT_DEPTH,
+    cms_width: int = DEFAULT_WIDTH,
+) -> dict:
+    """Bring the stats store up to date with the table: one pass over each
+    UNPROCESSED snapshot's delta, nothing else. Returns
+    ``{"processed": [run_id, ...], "scanned_files": {run_id: n}}`` —
+    the O(delta) evidence the tests assert on."""
+    agg_dir = os.path.join(stats_dir, "agg")
+    done: set[str] = set()
+    if os.path.isdir(agg_dir):
+        done = {
+            r["run_id"] for r in spark.read.parquet(agg_dir).select("run_id").collect()
+        }
+
+    processed: list[str] = []
+    scanned: dict[str, int] = {}
+    for ordinal, m in enumerate(list_manifests(table_dir)):
+        run_id = m["run_id"]
+        if run_id in done:
+            continue
+        if m.get("base"):
+            # compaction: rewrites prior rows, appends none — record an
+            # empty stats row so the store knows it's been considered
+            _write_agg_row(spark, agg_dir, run_id, ordinal, None, token_counter)
+            processed.append(run_id)
+            scanned[run_id] = 0
+            continue
+        delta = read_snapshot_delta(spark, table_dir, run_id).withColumn(
+            "_tok", _token_count_col(text_col, token_counter)
+        )
+        delta = delta.persist()
+        try:
+            _write_agg_row(
+                spark, agg_dir, run_id, ordinal, (delta, text_col, lang_col, stratum_col),
+                token_counter,
+            )
+            toks = _tokens(delta, text_col)
+            cms_sketch(toks, depth=cms_depth, width=cms_width).withColumn(
+                "run_id", F.lit(run_id)
+            ).coalesce(1).write.mode("append").parquet(os.path.join(stats_dir, "cms"))
+            local_top_candidates(toks, n=TOP_N_CANDIDATES).withColumn(
+                "run_id", F.lit(run_id)
+            ).coalesce(1).write.mode("append").parquet(os.path.join(stats_dir, "cand"))
+            scanned[run_id] = len(
+                read_snapshot_delta(spark, table_dir, run_id).inputFiles()
+            )
+        finally:
+            delta.unpersist()
+        processed.append(run_id)
+    return {"processed": processed, "scanned_files": scanned}
+
+
+def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("run_id", T.StringType(), False),
+            T.StructField("ordinal", T.IntegerType(), False),
+            T.StructField("n_docs", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("n_chars", T.LongType(), False),
+            T.StructField("sum_quality", T.DoubleType(), False),
+            T.StructField("sum_rep_ok", T.DoubleType(), False),
+            T.StructField("ksketch", T.BinaryType(), True),
+            T.StructField("by_lang", T.StringType(), False),
+            T.StructField("by_stratum", T.StringType(), False),
+            T.StructField("token_counter", T.StringType(), False),
+        ]
+    )
+    if payload is None:  # compaction marker row
+        row = (run_id, ordinal, 0, 0, 0, 0.0, 0.0, None, "{}", "{}", token_counter)
+    else:
+        delta, text_col, lang_col, stratum_col = payload
+        text = F.col(text_col)
+        t = delta.withColumn("_q", quality_score(text)).withColumn(
+            "_r", repetition_keep(text).cast("double")
+        )
+        totals = t.agg(
+            F.count("*").alias("d"),
+            F.coalesce(F.sum("_tok"), F.lit(0)).cast("bigint").alias("tok"),
+            F.coalesce(F.sum(F.length(text)), F.lit(0)).cast("bigint").alias("ch"),
+            F.coalesce(F.sum("_q"), F.lit(0.0)).alias("q"),
+            F.coalesce(F.sum("_r"), F.lit(0.0)).alias("r"),
+            F.kll_sketch_agg_double(F.col("_tok").cast("double")).alias("ks"),
+        ).collect()[0]
+        row = (
+            run_id,
+            ordinal,
+            int(totals["d"]),
+            int(totals["tok"]),
+            int(totals["ch"]),
+            float(totals["q"]),
+            float(totals["r"]),
+            bytes(totals["ks"]) if totals["ks"] is not None else None,
+            _split_json(delta, lang_col),
+            _split_json(delta, stratum_col),
+            token_counter,
+        )
+    spark.createDataFrame([row], schema).coalesce(1).write.mode("append").parquet(
+        agg_dir
+    )
+
+
+def card_from_stats(
+    spark: SparkSession,
+    table_dir: str,
+    stats_dir: str,
+    top_k_terms: int = 20,
+    cms_depth: int = DEFAULT_DEPTH,
+    cms_width: int = DEFAULT_WIDTH,
+) -> dict:
+    """Assemble the card numbers by MERGING the stats store — cost is the
+    store size (rows per snapshot), independent of table size. Additive
+    numbers are exact; quantiles are the KLL union (rank-error bounded);
+    top terms are CMS estimates over the candidate union."""
+    agg = spark.read.parquet(os.path.join(stats_dir, "agg")).orderBy("ordinal")
+    rows = agg.collect()
+    if not rows:
+        raise FileNotFoundError(f"empty stats store at {stats_dir}")
+    counters = {r["token_counter"] for r in rows}
+    if len(counters) > 1:
+        raise ValueError(f"mixed token counters in stats store: {sorted(counters)}")
+
+    n_docs = sum(r["n_docs"] for r in rows)
+    by_lang: dict[str, list[int]] = {}
+    by_stratum: dict[str, list[int]] = {}
+    for r in rows:
+        for store, blob in ((by_lang, r["by_lang"]), (by_stratum, r["by_stratum"])):
+            for k, (d, t) in json.loads(blob).items():
+                cur = store.setdefault(k, [0, 0])
+                cur[0] += d
+                cur[1] += t
+
+    from .sketches import merge_quantile_estimate
+
+    ks = agg.filter(F.col("ksketch").isNotNull()).select(
+        F.col("ksketch").alias("ksketch")
+    )
+    qrow = merge_quantile_estimate(ks, [0.1, 0.5, 0.9, 0.99]).collect()[0]
+
+    sk = cms_merge(spark.read.parquet(os.path.join(stats_dir, "cms")))
+    cands = spark.read.parquet(os.path.join(stats_dir, "cand")).select("value")
+    terms = cms_heavy_hitters(
+        sk, cands, k=top_k_terms, depth=cms_depth, width=cms_width
+    ).collect()
+
+    manifests = list_manifests(table_dir)
+
+    def _fmt(store: dict[str, list[int]]) -> list[dict]:
+        return [
+            {"value": k, "n_docs": d, "n_tokens": t}
+            for k, (d, t) in sorted(
+                store.items(), key=lambda kv: (-kv[1][0], kv[0])
+            )
+        ]
+
+    return {
+        "mode": "incremental",
+        "table": os.path.abspath(table_dir),
+        "snapshots": [r["run_id"] for r in rows],
+        "n_docs": n_docs,
+        "n_tokens": sum(r["n_tokens"] for r in rows),
+        "token_counter": rows[0]["token_counter"],
+        "n_chars": sum(r["n_chars"] for r in rows),
+        "token_quantiles": {
+            p: float(qrow[f"q_{str(v).replace('.', '_')}"])
+            for p, v in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+        },
+        "mean_quality": round(sum(r["sum_quality"] for r in rows) / n_docs, 4),
+        "repetition_pass_rate": round(sum(r["sum_rep_ok"] for r in rows) / n_docs, 4),
+        "by_language": _fmt(by_lang),
+        "by_stratum": _fmt(by_stratum),
+        "top_terms": [{"term": r["value"], "est_count": int(r["est"])} for r in terms],
+        "lineage_rows": sum(
+            ln["n_rows"] for m in manifests for ln in m.get("lineage", [])
+        ),
+    }

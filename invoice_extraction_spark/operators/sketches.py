@@ -76,7 +76,11 @@ def merge_quantile_estimate(
     grouped = (
         sketches.groupBy(*group_cols).agg(arr) if group_cols else sketches.agg(arr)
     )
-    a = F.col("_arr")
+    # KLL merge results depend on merge ORDER (compaction is order-
+    # sensitive) and collect_list order depends on partition arrival —
+    # sort the sketch bytes first so the same store always folds to the
+    # same quantiles
+    a = F.array_sort(F.col("_arr"))
     merged = F.aggregate(
         F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
         F.element_at(a, 1),

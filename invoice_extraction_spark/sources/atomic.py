@@ -487,6 +487,22 @@ def _snapshot_index(manifests: list[dict], ref: int | str, table_dir: str) -> in
     return idx
 
 
+def read_snapshot_delta(spark: SparkSession, table_dir: str, ref: int | str) -> DataFrame:
+    """The rows appended by snapshot ``ref`` ALONE (ordinal or run_id) —
+    the unit of work for per-snapshot incremental consumers (e.g. the
+    sketch-backed datacard stats). A compaction snapshot rewrites history
+    and appends nothing, so asking for its delta raises."""
+    manifests = list_manifests(table_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    m = manifests[_snapshot_index(manifests, ref, table_dir)]
+    if m.get("base"):
+        raise ValueError(
+            f"snapshot {m['run_id']} is a compaction (rewrites history, appends no rows)"
+        )
+    return _read_manifests(spark, [m], table_dir)
+
+
 def read_appended(
     spark: SparkSession,
     table_dir: str,

@@ -46,6 +46,18 @@ def main(argv=None):
         default="bpe",
         help="token economics: real frozen-BPE counts (default) or the whitespace estimate",
     )
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="sketch-backed mode: maintain per-snapshot stats (--stats-dir) "
+        "and fold them — each run scans only unprocessed snapshot deltas",
+    )
+    ap.add_argument(
+        "--stats-dir",
+        default=None,
+        help="stats store for --incremental (default: <table>/_card_stats)",
+    )
+    ap.add_argument("--top-terms", type=int, default=20)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -62,6 +74,35 @@ def main(argv=None):
 
     owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="datacard-job", master=args.master)
+
+    if args.incremental:
+        from invoice_extraction_spark.operators.card_stats import (
+            card_from_stats,
+            update_card_stats,
+        )
+
+        stats_dir = args.stats_dir or os.path.join(args.table, "_card_stats")
+        upd = update_card_stats(
+            spark,
+            args.table,
+            stats_dir,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            stratum_col=args.stratum_col,
+            token_counter=args.token_counter,
+        )
+        card = card_from_stats(
+            spark, args.table, stats_dir, top_k_terms=args.top_terms
+        )
+        _write_card(card, args.out)
+        print(
+            f"card (incremental): {card['n_docs']} docs, {card['n_tokens']} tokens; "
+            f"processed {len(upd['processed'])} new snapshot(s) -> {args.out}"
+        )
+        if owned:
+            spark.stop()
+        return 0
+
     df = read_table(spark, args.table)
     text = F.col(args.text_col)
     if args.token_counter == "bpe":
@@ -100,8 +141,23 @@ def main(argv=None):
             for r in rows
         ]
 
+    # exact top terms at card time (the incremental mode estimates the same
+    # list from the merged CMS + candidate union)
+    terms = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(args.text_col)), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(args.top_terms)
+        .collect()
+    )
+
     manifests = list_manifests(args.table)
     card = {
+        "mode": "full",
         "table": os.path.abspath(args.table),
         "snapshots": [m["run_id"] for m in manifests],
         "n_docs": totals["n_docs"],
@@ -116,13 +172,26 @@ def main(argv=None):
         "repetition_pass_rate": totals["repetition_pass_rate"],
         "by_language": _split(args.lang_col),
         "by_stratum": _split(args.stratum_col),
+        "top_terms": [
+            {"term": r["term"], "est_count": int(r["n"])} for r in terms
+        ],
         "lineage_rows": sum(
             ln["n_rows"] for m in manifests for ln in m.get("lineage", [])
         ),
     }
+    _write_card(card, args.out)
+    print(
+        f"card: {card['n_docs']} docs, {card['n_tokens']} tokens, "
+        f"{len(card['snapshots'])} snapshot(s) -> {args.out}"
+    )
+    if owned:
+        spark.stop()
+    return 0
 
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "datacard.json"), "w") as fh:
+
+def _write_card(card: dict, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "datacard.json"), "w") as fh:
         json.dump(card, fh, indent=1, sort_keys=True)
 
     md = [
@@ -149,15 +218,13 @@ def main(argv=None):
         f"| {e['value']} | {e['n_docs']:,} | {e['n_tokens']:,} |"
         for e in card["by_stratum"]
     ]
-    with open(os.path.join(args.out, "DATACARD.md"), "w") as fh:
+    if card.get("top_terms"):
+        md += ["", "## Top terms", "", "| term | count |", "|---|---|"]
+        md += [
+            f"| {e['term']} | {e['est_count']:,} |" for e in card["top_terms"]
+        ]
+    with open(os.path.join(out, "DATACARD.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")
-    print(
-        f"card: {card['n_docs']} docs, {card['n_tokens']} tokens, "
-        f"{len(card['snapshots'])} snapshot(s) -> {args.out}"
-    )
-    if owned:
-        spark.stop()
-    return 0
 
 
 if __name__ == "__main__":
