@@ -11,10 +11,13 @@ is a real pure-stdlib PNG decoder (IHDR parse, IDAT inflate, full 5-filter
 unfiltering) producing true width/height/channel statistics. Round 3:
 AUDIO rows are REAL too — synth emits genuine 16-bit PCM WAV (stdlib
 ``wave`` writer) and ``_decode_audio`` parses it back (true sample rate /
-duration + a 16-segment RMS energy envelope as the feature). VIDEO
-payloads remain deterministic fakes (no av1 bitstream codec exists in the
-stdlib — a real deployment wires ffmpeg into the same kernel slot), and
-non-PNG/non-WAV payloads raise NotImplementedError loudly.
+duration + a 16-segment RMS energy envelope as the feature). Round 4:
+VIDEO has a REAL decode path too — ``video_decoder="ffmpeg"`` runs
+ffprobe/ffmpeg (duration, dimensions, per-frame mean-luma features via
+our own PNG decoder) and raises loudly when ffmpeg is absent, as in this
+container; the default ``"stub"`` keeps the deterministic sha-based fake
+that the synthetic av1 payloads and the DuckDB oracle model. Non-PNG/
+non-WAV payloads raise NotImplementedError loudly.
 
 This mirrors how the reference treats its perception stack as swappable
 engines with graceful fallback (EasyOCR -> Tesseract -> skip,
@@ -29,6 +32,7 @@ column at the parquet scan (ReadSchema check in tests).
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 import zlib
 from collections.abc import Iterator
@@ -287,9 +291,73 @@ def _decode_audio(payload: bytes) -> tuple[int, list[float]]:
 def _fake_signal_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in feature for VIDEO rows — the synthetic
     payloads are NOT real av1 bitstreams (no stdlib codec exists); a
-    real deployment wires ffmpeg into this same kernel slot."""
+    real deployment selects ``video_decoder="ffmpeg"`` to wire
+    ``_decode_video_ffmpeg`` into this same kernel slot."""
     d = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in d[:FEATURE_DIM]]
+
+
+def _decode_video_ffmpeg(
+    payload: bytes, n_frames: int = FEATURE_DIM
+) -> tuple[int, int | None, int | None, list[float]]:
+    """REAL video decode through ffmpeg/ffprobe when they are on PATH:
+    ffprobe reads duration + dimensions, ffmpeg decodes ``n_frames``
+    evenly-sampled frames as PNGs which our own stdlib PNG decoder turns
+    into a per-frame mean-luma feature vector (deterministic given the
+    payload — the video analog of the audio RMS envelope). Returns
+    ``(duration_ms, width, height, feature[FEATURE_DIM])``; raises a loud
+    NotImplementedError when ffmpeg is absent (this container) — no fake
+    on this path."""
+    import glob as _glob
+    import json as _json
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffprobe, ffmpeg = shutil.which("ffprobe"), shutil.which("ffmpeg")
+    if not (ffprobe and ffmpeg):
+        raise NotImplementedError(
+            "real video decode needs ffmpeg/ffprobe on PATH; this container "
+            "ships neither — use video_decoder='stub' for the deterministic "
+            "stand-in feature"
+        )
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "v.bin")
+        with open(src, "wb") as fh:
+            fh.write(payload)
+        meta = _json.loads(
+            subprocess.run(
+                [
+                    ffprobe, "-v", "error", "-print_format", "json",
+                    "-show_format", "-show_streams", src,
+                ],
+                capture_output=True,
+                check=True,
+            ).stdout
+        )
+        duration_ms = int(round(float(meta["format"]["duration"]) * 1000))
+        w = h = None
+        for s in meta.get("streams", []):
+            if s.get("codec_type") == "video":
+                w, h = int(s["width"]), int(s["height"])
+        # n_frames evenly spread over the clip, decoded to PNG
+        subprocess.run(
+            [
+                ffmpeg, "-v", "error", "-i", src,
+                "-vf", f"fps={n_frames}/{max(duration_ms / 1000.0, 1e-3)}",
+                "-frames:v", str(n_frames), os.path.join(td, "f%03d.png"),
+            ],
+            capture_output=True,
+            check=True,
+        )
+        feat = []
+        for fp in sorted(_glob.glob(os.path.join(td, "f*.png")))[:FEATURE_DIM]:
+            with open(fp, "rb") as fh:
+                fw, fhh, ch, px = png_decode(fh.read())
+            luma = px[::ch] if ch else px  # first channel ~ gray for our use
+            feat.append(round(sum(luma) / (len(luma) * 255.0), 6) if luma else 0.0)
+        feat += [0.0] * (FEATURE_DIM - len(feat))
+        return duration_ms, w, h, feat
 
 
 def _frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
@@ -301,13 +369,25 @@ def _frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
     return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
 
 
-def extract_features(df: DataFrame, max_batch_bytes: int = 32 << 20) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    max_batch_bytes: int = 32 << 20,
+    video_decoder: str = "stub",
+) -> DataFrame:
     """Arrow-batch feature extraction over media payloads.
 
     The kernel re-chunks each incoming Arrow batch by cumulative payload
     bytes so oversized media rows can't blow Python memory — the byte-capped
     analog of arrow.maxRecordsPerBatch (which only caps rows).
+
+    ``video_decoder``: ``"stub"`` (default — the deterministic sha-based
+    stand-in, what the synthetic av1 payloads and the DuckDB oracle model)
+    or ``"ffmpeg"`` — REAL decode via ``_decode_video_ffmpeg`` (duration,
+    dimensions, per-frame mean-luma features); raises loudly per-row when
+    ffmpeg is absent rather than silently downgrading.
     """
+    if video_decoder not in ("stub", "ffmpeg"):
+        raise ValueError(f"unknown video_decoder {video_decoder!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -338,6 +418,8 @@ def extract_features(df: DataFrame, max_batch_bytes: int = 32 << 20) -> DataFram
             elif mtype == "audio":
                 _dur, feat = _decode_audio(p)  # real WAV decode
                 w, h = None, None
+            elif video_decoder == "ffmpeg":
+                _dur, w, h, feat = _decode_video_ffmpeg(p)  # real decode
             else:
                 w, h, feat = None, None, _fake_signal_feature(p)
             out["n_bytes"].append(len(p))

@@ -261,3 +261,83 @@ def test_non_wav_audio_is_loud():
 
     with _pytest.raises(NotImplementedError):
         _decode_audio(b"OggS fake opus container bytes")
+
+
+# --- real video decode behind the ffmpeg slot (VERDICT r3 #7) --------------
+
+
+def test_video_ffmpeg_absent_raises_loudly(spark):
+    """No ffmpeg in this container: the real-decode path must fail LOUDLY,
+    driver-side and through the Spark kernel — never silently downgrade."""
+    from invoice_extraction_spark.operators.multimodal import _decode_video_ffmpeg
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _decode_video_ffmpeg(b"\x00\x01fakevideo")
+
+    from pyspark.errors import PythonException
+
+    media = synth_media(spark, 9)
+    with pytest.raises(PythonException, match="ffmpeg"):
+        extract_features(media, video_decoder="ffmpeg").collect()
+
+    with pytest.raises(ValueError, match="video_decoder"):
+        extract_features(media, video_decoder="nope")
+
+
+def test_video_ffmpeg_real_plumbing_with_standin_binaries(tmp_path, monkeypatch):
+    """Drive _decode_video_ffmpeg through stand-in ffprobe/ffmpeg
+    executables: probe JSON parsing, frame-pattern handoff, PNG frame
+    decode and mean-luma feature assembly are all REAL — only the codec
+    binary is simulated (it is not installable here)."""
+    import os
+    import stat
+    import sys
+
+    from invoice_extraction_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_video_ffmpeg,
+        png_decode,
+        png_encode,
+    )
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    frame_paths = []
+    for i, base in enumerate((10, 120, 250)):
+        p = frames_dir / f"frame{i}.png"
+        p.write_bytes(
+            png_encode(8, 6, lambda x, y, b=base: (min(b + x, 255), b // 2, 0))
+        )
+        frame_paths.append(str(p))
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    probe = bindir / "ffprobe"
+    probe.write_text(
+        f"#!{sys.executable}\n"
+        "print('{\"format\": {\"duration\": \"2.5\"}, \"streams\": "
+        "[{\"codec_type\": \"video\", \"width\": 8, \"height\": 6}]}')\n"
+    )
+    mpeg = bindir / "ffmpeg"
+    mpeg.write_text(
+        f"#!{sys.executable}\n"
+        "import shutil, sys\n"
+        "pattern = sys.argv[-1]\n"
+        f"for i, src in enumerate({frame_paths!r}, 1):\n"
+        "    shutil.copy(src, pattern % i)\n"
+    )
+    for f in (probe, mpeg):
+        f.chmod(f.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    dur, w, h, feat = _decode_video_ffmpeg(b"any payload")
+    assert (dur, w, h) == (2500, 8, 6)
+    assert len(feat) == FEATURE_DIM
+    # per-frame mean luma, independently recomputed from the frame PNGs
+    want = []
+    for p in frame_paths:
+        fw, fh, ch, px = png_decode(open(p, "rb").read())
+        luma = px[::ch]
+        want.append(round(sum(luma) / (len(luma) * 255.0), 6))
+    assert feat[: len(want)] == want
+    assert feat[len(want):] == [0.0] * (FEATURE_DIM - len(want))
