@@ -8,8 +8,18 @@ parquet once, extraction reads it back — matching the real scan-from-storage
 pipeline), and every timed section is best-of-N reps so round-over-round
 comparisons aren't host-noise (~3x observed on this shared box).
 
+Round-4 trust protocol (VERDICT r3 "What's wrong" #2): the canonical
+``value`` is the TRIMMED MEDIAN across reps (drop fastest + slowest, median
+of the rest) at 5 reps, not best-of — the number a re-run actually
+reproduces; best + per-rep walls + spread stay as audit fields. The run
+gates on a quiet host first (1-min loadavg below SPARK_GRAFT_MAX_LOAD,
+polled up to SPARK_GRAFT_QUIET_WAIT seconds — the same check the scaling
+protocol uses manually); if the window never comes it runs anyway and
+reports ``quiet: false`` so a noisy number can't masquerade as a clean one.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_REPS (default 3).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_REPS (default 5),
+     SPARK_GRAFT_MAX_LOAD (default 2.0), SPARK_GRAFT_QUIET_WAIT (default 240).
 """
 
 from __future__ import annotations
@@ -59,13 +69,38 @@ def _median(walls: list[float]) -> float:
     return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
 
 
+def _trimmed_median(walls: list[float]) -> float:
+    """Drop the fastest and slowest rep, median of the rest — the canonical
+    headline: robust to one cold rep AND one lucky rep. Falls back to the
+    plain median below 3 reps."""
+    if len(walls) < 3:
+        return _median(walls)
+    return _median(sorted(walls)[1:-1])
+
+
+def _wait_for_quiet(max_load: float, max_wait_s: float) -> tuple[bool, float]:
+    """Poll 1-min loadavg until the host is quiet or the budget runs out.
+    Only meaningful BEFORE any Spark work (our own executors dominate the
+    load average once the bench starts)."""
+    deadline = time.time() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > max_load and time.time() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load <= max_load, round(load, 2)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "240"))
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_pages = int(sf * 500_000)
+
+    quiet, load_at_start = _wait_for_quiet(max_load, quiet_wait)
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,7 +122,8 @@ def main():
         n = extract_pages(src, num_partitions=cpus * 2).count()
         assert n == n_pages, (n, n_pages)
 
-    extract_wall, extract_walls = _best_of(reps, run_extract)
+    extract_best, extract_walls = _best_of(reps, run_extract)
+    extract_wall = _trimmed_median(extract_walls)  # the canonical number
 
     # PDF path (round 3+): same pipeline, application/pdf payloads. Smaller
     # corpus than HTML (it shares the round's wall budget) but big enough to
@@ -102,7 +138,8 @@ def main():
         n = extract_pages(pdf_src, num_partitions=cpus * 2).count()
         assert n == n_pdf, (n, n_pdf)
 
-    pdf_wall, pdf_walls = _best_of(reps, run_pdf)
+    _pdf_best, pdf_walls = _best_of(reps, run_pdf)
+    pdf_wall = _trimmed_median(pdf_walls)
     shutil.rmtree(pdf_dir, ignore_errors=True)
 
     queries = {
@@ -124,7 +161,8 @@ def main():
         def run_q(name=name):
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-        queries[name], query_walls[name] = _best_of(reps, run_q)
+        _best, query_walls[name] = _best_of(reps, run_q)
+        queries[name] = _trimmed_median(query_walls[name])
 
     # dispersion across reps (VERDICT r2 #8: best-of is the headline — the
     # host is shared and noisy — but per-rep walls + medians make the
@@ -135,25 +173,30 @@ def main():
     )
     result = {
         "metric": "extract_wall",
-        "value": extract_wall,
+        "value": extract_wall,  # trimmed median — the reproducible number
         "unit": "sec",
         "queries": queries,
         "sf": sf,
         "n_pages": n_pages,
+        "quiet": quiet,
+        "load_at_start": load_at_start,
         "synth_wall": synth_wall,
         "extract_wall": extract_wall,
+        "extract_wall_best": extract_best,
         "extract_walls": extract_walls,
-        "extract_wall_median": _median(extract_walls),
         "table_warm_wall": table_warm_wall,
         "query_walls": query_walls,
-        "query_medians": {k: _median(v) for k, v in query_walls.items()},
+        "query_bests": {k: min(v) for k, v in query_walls.items()},
         "max_rep_spread": round(spread, 2),
         "dispersion_note": (
-            "best-of-%d headline on a shared noisy host (worst/best rep "
-            "spread %.1fx this run); medians reported alongside" % (reps, spread)
+            "trimmed-median-of-%d headline, load-gated start (1-min load "
+            "%.2f, quiet=%s); per-rep walls + bests kept for audit "
+            "(worst/best spread %.1fx this run)"
+            % (reps, load_at_start, quiet, spread)
         ),
         "reps": reps,
         "pages_per_sec": round(n_pages / extract_wall, 1),
+        "pages_per_sec_best": round(n_pages / extract_best, 1),
         "pdf_docs_per_sec": round(n_pdf / pdf_wall, 1),
         "n_pdf_docs": n_pdf,
         "cpus": cpus,
