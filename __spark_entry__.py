@@ -257,10 +257,11 @@ def _q_repetition_scores(spark, sf_dir):
     §A1.1 adapted to single-line word text): duplicate-token fraction and
     top-bigram fraction per document."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = tm.repetition_stats_fast("text")  # Arrow kernel == Column forms (test_repetition)
     return d.select(
         "doc_id",
-        tm.dup_token_fraction("text").alias("dup_token_frac"),
-        tm.top_bigram_fraction("text").alias("top_bigram_frac"),
+        s["dup_token_frac"].alias("dup_token_frac"),
+        s["top_bigram_frac"].alias("top_bigram_frac"),
     ).orderBy("doc_id")
 
 
@@ -269,7 +270,10 @@ def _q_repetition_filter_counts(spark, sf_dir):
     language (the filter a 100 TB pretraining pipeline actually runs)."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select("lang", tm.repetition_keep("text").alias("keep"))
+        d.select(
+            "lang",
+            tm.repetition_keep_fast(tm.repetition_stats_fast("text")).alias("keep"),
+        )
         .groupBy("lang", "keep")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "keep")

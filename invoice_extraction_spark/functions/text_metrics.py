@@ -11,6 +11,11 @@ oracle parity — __spark_entry__.oracle_sql builds the mirror query).
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: UP035 — the pandas_udf hint parser
+# resolves annotations against MODULE globals; typing.Iterator here makes
+# repetition_stats_fast's Iterator[pd.Series] signature recognizable
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -148,6 +153,77 @@ def repetition_keep(text: Column | str, max_dup_tokens: float = 0.6, max_top_big
     test purely by having few bigram slots."""
     return (dup_token_fraction(text) <= max_dup_tokens) & (
         (max_bigram_count(text) < 2) | (top_bigram_fraction(text) <= max_top_bigram)
+    )
+
+
+def repetition_stats_fast(text: Column | str) -> Column:
+    """Arrow fast path for the Gopher repetition signals: ONE pandas batch
+    pass returning ``struct(dup_token_frac, top_bigram_frac, max_bigram_n)``.
+
+    The Column forms above are the oracle-parity reference, but
+    ``max_bigram_count``'s sorted-run fold is an INTERPRETED HOF evaluated
+    per element (and ``repetition_keep`` evaluates it twice) — measured
+    ~40 ms/doc, which turned a 50k-doc corpus-wide gate into a 30+ minute
+    single-stage crawl at the sf1 rehearsal. Same trap as the HOF MinHash
+    (45x, round 1) — per-element loops belong in Arrow kernels. This
+    kernel is equality-asserted against the Column forms (including the
+    half-up 4-dp rounding) in test_repetition."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("dup_token_frac", DoubleType()),
+            StructField("top_bigram_frac", DoubleType()),
+            StructField("max_bigram_n", IntegerType()),
+        ]
+    )
+
+    def _r4(x: float) -> float:  # Spark ROUND = HALF_UP (non-negative here)
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def _one(s):
+        if not isinstance(s, str):
+            return None, None, None
+        toks = s.split(" ")  # == F.split(text, " ") incl. empty tokens
+        n = len(toks)
+        dup = _r4(1.0 - len(set(toks)) / max(n, 1))
+        # bigram list mirrors _bigrams: i in 1..max(n-1, 1), concat_ws
+        # skips the null second element of the final/short slot
+        if n >= 2:
+            bigrams = [f"{toks[i]} {toks[i + 1]}" for i in range(n - 1)]
+        else:
+            bigrams = toks[:1] or [""]
+        best = max(Counter(bigrams).values())
+        top = _r4(best / max(n - 1, 1))
+        return dup, top, best
+
+    @pandas_udf(schema)
+    def _stats(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            yield pd.DataFrame(
+                [_one(s) for s in texts],
+                columns=["dup_token_frac", "top_bigram_frac", "max_bigram_n"],
+            )
+
+    return _stats(F.col(text) if isinstance(text, str) else text)
+
+
+def repetition_keep_fast(
+    stats: Column, max_dup_tokens: float = 0.6, max_top_bigram: float = 0.08
+) -> Column:
+    """The ``repetition_keep`` decision read from a ``repetition_stats_fast``
+    struct — same thresholds, one kernel pass instead of two HOF folds."""
+    return (stats["dup_token_frac"] <= max_dup_tokens) & (
+        (stats["max_bigram_n"] < 2) | (stats["top_bigram_frac"] <= max_top_bigram)
     )
 
 

@@ -31,7 +31,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text_metrics import quality_score, repetition_keep, token_count
+from ..functions.text_metrics import (
+    quality_score,
+    repetition_keep_fast,
+    repetition_stats_fast,
+    token_count,
+)
 from ..sources.atomic import list_manifests, read_snapshot_delta
 from .cms import (
     DEFAULT_DEPTH,
@@ -161,7 +166,8 @@ def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> N
         delta, text_col, lang_col, stratum_col = payload
         text = F.col(text_col)
         t = delta.withColumn("_q", quality_score(text)).withColumn(
-            "_r", repetition_keep(text).cast("double")
+            "_r",
+            repetition_keep_fast(repetition_stats_fast(text)).cast("double"),
         )
         totals = t.agg(
             F.count("*").alias("d"),

@@ -102,7 +102,8 @@ def main(argv=None):
 
     from invoice_extraction_spark.functions.text_metrics import (
         quality_score,
-        repetition_keep,
+        repetition_keep_fast,
+        repetition_stats_fast,
         token_count,
     )
     from invoice_extraction_spark.session import get_spark
@@ -170,7 +171,10 @@ def main(argv=None):
             "quality_gate", df.filter(quality_score(F.col(text_col)) >= args.min_quality)
         )
     if args.repetition_gate:
-        df = record("repetition_gate", df.filter(repetition_keep(F.col(text_col))))
+        df = record(
+            "repetition_gate",
+            df.filter(repetition_keep_fast(repetition_stats_fast(F.col(text_col)))),
+        )
     if args.max_pseudo_ppl is not None:
         from invoice_extraction_spark.operators.lm_score import fit_unigram_lm, lm_quality
 

@@ -66,7 +66,8 @@ def main(argv=None):
 
     from invoice_extraction_spark.functions.text_metrics import (
         quality_score,
-        repetition_keep,
+        repetition_keep_fast,
+        repetition_stats_fast,
         token_count,
     )
     from invoice_extraction_spark.session import get_spark
@@ -113,7 +114,9 @@ def main(argv=None):
         _tok_expr = token_count(text)
     enriched = df.withColumn("_tok", _tok_expr).withColumn(
         "_q", quality_score(text)
-    ).withColumn("_rep_ok", repetition_keep(text).cast("double"))
+    ).withColumn(
+        "_rep_ok", repetition_keep_fast(repetition_stats_fast(text)).cast("double")
+    )
 
     totals = enriched.agg(
         F.count("*").alias("n_docs"),

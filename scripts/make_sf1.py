@@ -58,7 +58,15 @@ def _read(table: str) -> pd.DataFrame:
 
 def _write(df: pd.DataFrame, out_dir: str, table: str, schema: pa.Schema) -> None:
     t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(t, os.path.join(out_dir, f"{table}.parquet"))
+    # >=16 row groups per file: Spark assigns file SPLITS to tasks by row-
+    # group midpoint, so a single jumbo row group serializes the whole scan
+    # onto one task no matter how many byte-range splits exist (observed:
+    # a corpus-wide Arrow-kernel query ran 1-task-slow on a 1-RG sf1 file)
+    pq.write_table(
+        t,
+        os.path.join(out_dir, f"{table}.parquet"),
+        row_group_size=max(len(df) // 16, 1024),
+    )
 
 
 def _upscale_keys(df: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -72,7 +80,7 @@ def _upscale_keys(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return out
 
 
-def _shuffle_words(text: str, seed: tuple) -> str:
+def _shuffle_words(text: str, seed: str) -> str:
     words = text.split(" ")
     random.Random(seed).shuffle(words)
     return " ".join(words)
@@ -102,7 +110,7 @@ def main(out_dir: str = "/tmp/sf1") -> None:
         c["doc_id"] = c["doc_id"] + k * STRIDES["doc_id"]
         if k:
             c["text"] = [
-                _shuffle_words(t, (int(d), k))
+                _shuffle_words(t, f"{int(d)}|{k}")
                 for d, t in zip(c["doc_id"], c["text"])
             ]
             c["n_chars"] = [len(t) for t in c["text"]]

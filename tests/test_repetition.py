@@ -62,3 +62,48 @@ def test_repetition_is_pure_column(spark):
 
     q = _df(spark).select(repetition_keep("text"), F.col("doc_id"))
     assert not has_row_python_udf(q)
+
+
+def test_fast_kernel_equals_column_forms(spark):
+    """repetition_stats_fast (Arrow) must agree EXACTLY with the Column
+    reference forms — including half-up 4-dp rounding — on the corpus and
+    on adversarial edge strings. The fast path is what corpus-wide gates
+    (q:repetition_filter_counts, curate --repetition-gate, datacard) run:
+    the HOF fold is interpreted per element and was measured ~40 ms/doc."""
+    from pyspark.sql import functions as F
+
+    from invoice_extraction_spark.functions.text_metrics import (
+        dup_token_fraction,
+        max_bigram_count,
+        repetition_keep,
+        repetition_keep_fast,
+        repetition_stats_fast,
+        top_bigram_fraction,
+    )
+
+    edges = [
+        "", "a", "a a", "a b", "a  b ", "x y x y x y x y",
+        "one two three two three two", "  ", "solo",
+    ]
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text")
+        .union(spark.createDataFrame([(t,) for t in edges], ["text"]))
+    )
+    s = repetition_stats_fast("text")
+    rows = docs.select(
+        "text",
+        s["dup_token_frac"].alias("fd"),
+        s["top_bigram_frac"].alias("ft"),
+        s["max_bigram_n"].alias("fm"),
+        dup_token_fraction("text").alias("cd"),
+        top_bigram_fraction("text").alias("ct"),
+        max_bigram_count("text").alias("cm"),
+        repetition_keep_fast(s).alias("fk"),
+        repetition_keep("text").alias("ck"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert (r["fd"], r["ft"], r["fm"], r["fk"]) == (
+            r["cd"], r["ct"], r["cm"], r["ck"],
+        ), r["text"][:60]
