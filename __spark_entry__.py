@@ -34,6 +34,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Starve-proof a scan that feeds an Arrow kernel: the driver's test
+    parquet is single-row-group, which Spark scans as ONE task regardless
+    of cores (splits are byte-ranges, rows go to the split holding their
+    row group's midpoint). No-op when the scan already has enough splits —
+    i.e. always, at production file counts."""
+    from invoice_extraction_spark.plans.parallelism import ensure_min_parallelism
+
+    return ensure_min_parallelism(df)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -268,7 +279,7 @@ def _q_repetition_scores(spark, sf_dir):
 def _q_repetition_filter_counts(spark, sf_dir):
     """The repetition KEEP gate applied corpus-wide: keep/drop counts per
     language (the filter a 100 TB pretraining pipeline actually runs)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     return (
         d.select(
             "lang",

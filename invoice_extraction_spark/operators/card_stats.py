@@ -8,19 +8,29 @@ card by MERGING stats, never rereading history:
 
   stats_dir/
     agg/   one row per snapshot: exact additive scalars (docs, tokens,
-           chars, quality/repetition sums), a KLL sketch of per-doc token
-           counts (mergeable quantiles), per-language / per-stratum
+           chars, quality/repetition sums), per-language / per-stratum
            count maps (JSON — merged by key addition)
+    hist/  exact per-doc token-count histogram rows (value, n) — the
+           quantile store. Token counts are small integers, so the
+           histogram has at most max-doc-tokens distinct rows per
+           snapshot; merging is plain addition and quantiles read off
+           the cumulative distribution are EXACT and deterministic.
+           (KLL was tried first: DataSketches compaction flips unseeded
+           random bits inside the JVM, so folding the SAME store twice
+           could differ by ±1 — unacceptable for a regeneration-
+           deterministic card. KLL stays in operators/sketches.py for
+           real-valued/unbounded domains where a histogram can't work.)
     cms/   count-min sketch rows (depth, bucket, n) over document tokens
     cand/  the snapshot's local top-N tokens (heavy-hitter candidates)
 
 ``update_card_stats`` reads ONLY snapshots without a stats row
 (``sources.atomic.read_snapshot_delta`` — the per-snapshot incremental
 read), so each run scans the delta, test-asserted via inputFiles counts.
-``card_from_stats`` folds the store: sums are EXACT (addition commutes),
-quantiles come from the KLL union, top terms from the merged CMS ranked
-over the unioned candidates. Compaction snapshots rewrite history and
-append nothing — they are skipped (recorded with zero rows).
+``card_from_stats`` folds the store: sums and quantiles are EXACT
+(addition commutes; the histogram CDF is exact), top terms from the
+merged CMS ranked over the unioned candidates. Compaction snapshots
+rewrite history and append nothing — they are skipped (recorded with
+zero rows).
 """
 
 from __future__ import annotations
@@ -122,19 +132,35 @@ def update_card_stats(
         )
         delta = delta.persist()
         try:
-            _write_agg_row(
-                spark, agg_dir, run_id, ordinal, (delta, text_col, lang_col, stratum_col),
-                token_counter,
+            # per-run OVERWRITE subdirs, agg row LAST: the agg row is the
+            # completion marker (the done-check keys on it), so a crash
+            # between writes just reprocesses the snapshot and each
+            # overwrite is idempotent — no silent undercount (agg-first)
+            # and no double-append (append-mode stores) either way
+            delta.groupBy(
+                F.coalesce(F.col("_tok"), F.lit(0)).cast("bigint").alias("value")
+            ).agg(F.count("*").cast("bigint").alias("n")).withColumn(
+                "run_id", F.lit(run_id)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stats_dir, "hist", run_id)
             )
             toks = _tokens(delta, text_col)
             cms_sketch(toks, depth=cms_depth, width=cms_width).withColumn(
                 "run_id", F.lit(run_id)
-            ).coalesce(1).write.mode("append").parquet(os.path.join(stats_dir, "cms"))
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stats_dir, "cms", run_id)
+            )
             local_top_candidates(toks, n=TOP_N_CANDIDATES).withColumn(
                 "run_id", F.lit(run_id)
-            ).coalesce(1).write.mode("append").parquet(os.path.join(stats_dir, "cand"))
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stats_dir, "cand", run_id)
+            )
             scanned[run_id] = len(
                 read_snapshot_delta(spark, table_dir, run_id).inputFiles()
+            )
+            _write_agg_row(
+                spark, agg_dir, run_id, ordinal, (delta, text_col, lang_col, stratum_col),
+                token_counter,
             )
         finally:
             delta.unpersist()
@@ -154,16 +180,18 @@ def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> N
             T.StructField("n_chars", T.LongType(), False),
             T.StructField("sum_quality", T.DoubleType(), False),
             T.StructField("sum_rep_ok", T.DoubleType(), False),
-            T.StructField("ksketch", T.BinaryType(), True),
             T.StructField("by_lang", T.StringType(), False),
             T.StructField("by_stratum", T.StringType(), False),
             T.StructField("token_counter", T.StringType(), False),
         ]
     )
     if payload is None:  # compaction marker row
-        row = (run_id, ordinal, 0, 0, 0, 0.0, 0.0, None, "{}", "{}", token_counter)
+        row = (run_id, ordinal, 0, 0, 0, 0.0, 0.0, "{}", "{}", token_counter)
     else:
         delta, text_col, lang_col, stratum_col = payload
+        from ..plans.parallelism import ensure_min_parallelism
+
+        delta = ensure_min_parallelism(delta)
         text = F.col(text_col)
         t = delta.withColumn("_q", quality_score(text)).withColumn(
             "_r",
@@ -175,7 +203,6 @@ def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> N
             F.coalesce(F.sum(F.length(text)), F.lit(0)).cast("bigint").alias("ch"),
             F.coalesce(F.sum("_q"), F.lit(0.0)).alias("q"),
             F.coalesce(F.sum("_r"), F.lit(0.0)).alias("r"),
-            F.kll_sketch_agg_double(F.col("_tok").cast("double")).alias("ks"),
         ).collect()[0]
         row = (
             run_id,
@@ -185,7 +212,6 @@ def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> N
             int(totals["ch"]),
             float(totals["q"]),
             float(totals["r"]),
-            bytes(totals["ks"]) if totals["ks"] is not None else None,
             _split_json(delta, lang_col),
             _split_json(delta, stratum_col),
             token_counter,
@@ -225,15 +251,44 @@ def card_from_stats(
                 cur[0] += d
                 cur[1] += t
 
-    from .sketches import merge_quantile_estimate
+    # fold ONLY run dirs whose completion marker (agg row) exists — a
+    # crashed half-written snapshot leaves idempotent per-run dirs that the
+    # next update_card_stats overwrites, and is invisible until then
+    def _run_dirs(store: str) -> list[str]:
+        dirs = [
+            os.path.join(stats_dir, store, r["run_id"])
+            for r in rows
+        ]
+        return [d for d in dirs if os.path.isdir(d)]
 
-    ks = agg.filter(F.col("ksketch").isNotNull()).select(
-        F.col("ksketch").alias("ksketch")
+    # exact quantiles from the merged histogram: q(p) = smallest value whose
+    # cumulative count reaches ceil(p * N) (type-1) — deterministic by
+    # construction, unlike a KLL fold (randomized compaction)
+    hist_dirs = _run_dirs("hist")
+    hist = (
+        sorted(
+            (int(r["value"]), int(r["n"]))
+            for r in spark.read.parquet(*hist_dirs)
+            .groupBy("value")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        if hist_dirs
+        else []
     )
-    qrow = merge_quantile_estimate(ks, [0.1, 0.5, 0.9, 0.99]).collect()[0]
+    total = sum(n for _, n in hist)
 
-    sk = cms_merge(spark.read.parquet(os.path.join(stats_dir, "cms")))
-    cands = spark.read.parquet(os.path.join(stats_dir, "cand")).select("value")
+    def _q(p: float) -> float:
+        target = max(1, -(-int(p * total * 1_000_000) // 1_000_000))  # ceil, fp-safe
+        cum = 0
+        for v, n in hist:
+            cum += n
+            if cum >= target:
+                return float(v)
+        return float(hist[-1][0]) if hist else float("nan")
+
+    sk = cms_merge(spark.read.parquet(*_run_dirs("cms")))
+    cands = spark.read.parquet(*_run_dirs("cand")).select("value")
     terms = cms_heavy_hitters(
         sk, cands, k=top_k_terms, depth=cms_depth, width=cms_width
     ).collect()
@@ -257,7 +312,7 @@ def card_from_stats(
         "token_counter": rows[0]["token_counter"],
         "n_chars": sum(r["n_chars"] for r in rows),
         "token_quantiles": {
-            p: float(qrow[f"q_{str(v).replace('.', '_')}"])
+            p: _q(v)
             for p, v in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
         },
         "mean_quality": round(sum(r["sum_quality"] for r in rows) / n_docs, 4),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.parallelism import ensure_min_parallelism
 from .dedup import _ngram_slots
 
 DEFAULT_NGRAM = 8  # 13 is the GPT-3 figure for web-scale prose; 8 keeps
@@ -54,6 +55,7 @@ def benchmark_contamination(
     ``bench_index`` is ``benchmark_ngram_index(...)`` (or a re-read of its
     persisted output). It is broadcast — corpus-side grams never shuffle.
     """
+    df = ensure_min_parallelism(df)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(_ngram_slots(F.col(text_col), n)).alias("g"),

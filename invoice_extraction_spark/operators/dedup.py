@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..plans.parallelism import ensure_min_parallelism
+
 
 def word_shingles(text_col, n: int = 3):
     """Word n-gram shingles as an array column (distinct, for set semantics).
@@ -147,6 +149,7 @@ def band_members(
     this once (``.persist()`` it) and pass it to ``lsh_candidate_pairs`` and
     ``lsh_band_stats`` — otherwise each re-runs the MinHash kernel
     (VERDICT r2 'What's wrong' #2)."""
+    df = ensure_min_parallelism(df)  # 1-row-group local files scan 1-task
     sigd = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_fast(F.col(text_col), num_bands * rows_per_band).alias("sig"),
@@ -473,6 +476,7 @@ def cross_doc_contamination(
     the standard corpus-wide inverted-index shape; at 10^12 docs the gram
     counts table is what you'd persist as the shared-spans index.
     """
+    df = ensure_min_parallelism(df)  # gram explode+md5 run in the scan stage
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(_ngram_slots(F.col(text_col), shingle_n)).alias("g"),
@@ -572,6 +576,7 @@ def simhash_buckets(
     """Docs grouped by SimHash prefix band — near-dup buckets at scale
     (bucket key is tiny and shuffle-friendly). ``fast=True`` (default) uses
     the Arrow kernel; the Column form remains the oracle/reference mirror."""
+    df = ensure_min_parallelism(df)
     sh = simhash_fast(F.col(text_col)) if fast else simhash_bits(F.col(text_col))
     s = df.select(F.col(id_col), sh.alias("simhash"))
     return s.groupBy(F.substring("simhash", 1, prefix).alias("simhash_band")).agg(

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.parallelism import ensure_min_parallelism
+
 DEFAULT_MIN_DOCS = 3
 
 
@@ -72,6 +74,7 @@ def dedup_lines(
     """
     if frequencies is None:
         frequencies = line_frequencies(df, text_col, id_col, min_docs)
+    df = ensure_min_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),

@@ -20,6 +20,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.parallelism import ensure_min_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -56,6 +58,9 @@ def brute_force_topk(
     stable across float summation orders (and hash-comparable vs the oracle).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # the zip_with/aggregate folds are interpreted per element — starve-proof
+    # the scan (no-op when the input already has enough splits)
+    df = ensure_min_parallelism(df)
     out = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
@@ -99,7 +104,9 @@ def lsh_topk(
     q_bucket = "".join(
         "1" if sum(w * x for w, x in zip(p, query_vec)) >= 0 else "0" for p in planes
     )
-    bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    bucketed = ensure_min_parallelism(df).withColumn(
+        "_bucket", lsh_bucket_expr(F.col(vec_col), planes)
+    )
     return brute_force_topk(
         bucketed.filter(F.col("_bucket") == q_bucket), query_vec, k, vec_col, id_col
     )
@@ -185,7 +192,9 @@ def ivf_topk(
     if centroids is None:
         centroids = fit_ivf_centroids(df, n_cells, seed, sample_fraction, vec_col)
     cells = ivf_probe_cells(query_vec, centroids, n_probe)
-    assigned = df.withColumn("_cell", ivf_assign_expr(F.col(vec_col), centroids))
+    assigned = ensure_min_parallelism(df).withColumn(
+        "_cell", ivf_assign_expr(F.col(vec_col), centroids)
+    )
     candidates = assigned.filter(F.col("_cell").isin(cells)).drop("_cell")
     return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
 
@@ -199,6 +208,7 @@ def _bucketed(
     """(id, v, bucket) — map-side sign-LSH bucket assignment, shared by the
     pair join and the bucket stats so both see identical bucketing."""
     planes = _hyperplanes(dim, n_planes, seed)
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -322,6 +332,7 @@ def pairwise_topk_per_label(
     """Centroid-nearest per label group: for each label, the k vectors most
     cosine-similar to the label centroid (embedding-cosine near-dup primitive
     done group-wise — a window top-k over a broadcast-joined centroid dim)."""
+    df = ensure_min_parallelism(df)
     # centroid per label: elementwise mean via posexplode + groupBy
     exploded = df.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")

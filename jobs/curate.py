@@ -119,6 +119,9 @@ def main(argv=None):
         df = read_table(spark, args.source)
     else:
         df = spark.read.parquet(args.source)
+    from invoice_extraction_spark.plans.parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # Arrow gates downstream; no-op at scale
     id_col, text_col = args.id_col, args.text_col
 
     stage_counts: list[tuple[str, int]] = []

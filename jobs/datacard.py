@@ -104,7 +104,9 @@ def main(argv=None):
             spark.stop()
         return 0
 
-    df = read_table(spark, args.table)
+    from invoice_extraction_spark.plans.parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(read_table(spark, args.table))
     text = F.col(args.text_col)
     if args.token_counter == "bpe":
         from invoice_extraction_spark.functions.bpe import frozen_bpe_token_count

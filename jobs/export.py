@@ -58,7 +58,9 @@ def main(argv=None):
 
     owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="export-job", master=args.master)
-    df = read_table(spark, args.table)
+    from invoice_extraction_spark.plans.parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(read_table(spark, args.table))
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",")])
     if args.token_counts != "none" and "n_tokens" not in df.columns:

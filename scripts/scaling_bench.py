@@ -103,55 +103,16 @@ def main():
     eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as fh:
-        fh.write(
-            f"""# BENCH/BASELINE — measured extraction throughput & scaling
-
-Same deterministic corpus ({n_pages} synthetic Common-Crawl-style pages,
-parquet), same job (`extract_pages`: DOM parse -> block scoring -> anchor
-spans -> Column validation, salted-repartition shuffle included), run at two
-parallelism levels as the sandbox stand-in for N vs 4N executors
-(BASELINE.json north_rule). Each level runs {len(r_lo["walls"])} reps in its
-own process; best wall is reported.
-
-Why N={lo} -> 4N={hi}: the sandbox host is SHARED. A parallel-spin probe gets
-only ~2.6x going 8->32 workers (~21 effective cores of 32 advertised, with
-intermittent neighbor load), and per-core extraction throughput rolls off
-from memory bandwidth above ~8 workers (measured 711 / 607 / 532
-pages/s/core at 2 / 8 / 16 workers, map-only). N={lo} -> 4N={hi} fits inside
-genuine machine capacity, so the efficiency below measures the JOB's
-scaling behavior (map-parallel kernel, one explicit shuffle), not the host's
-oversubscription ceiling. On a real 1000-executor cluster the analogous
-limit is per-node bandwidth, which executors-per-node sizing controls.
-
-| level | pages/sec | best wall (s) | all walls (s) |
-|---|---|---|---|
-| local[{lo}] (N) | {r_lo["pages_per_sec"]:.1f} | {r_lo["wall"]:.1f} | {", ".join(f"{w:.1f}" for w in r_lo["walls"])} |
-| local[{hi}] (4N) | {r_hi["pages_per_sec"]:.1f} | {r_hi["wall"]:.1f} | {", ".join(f"{w:.1f}" for w in r_hi["walls"])} |
-
-**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
-
-Round-over-round honesty note: round 3's kernel is 1.5x faster per core
-(round 2: 0.835 efficiency at 2,669 / 8,914 pages/s). Faster per-page
-compute shrinks the parallelizable share relative to fixed costs (scan,
-shuffle of extracted rows, scheduling), so efficiency dips slightly even
-as ABSOLUTE throughput rises at both levels — the classic Amdahl
-trade, visible and expected. Dispersion: the shared host shows up to 25x
-wall spread under neighbor load (see BENCH_r3 query_walls); scaling runs
-are interleaved lo/hi alternating processes and reported best-of so both
-levels sample the same load windows.
-
-Reference baseline (BASELINE.md): 0.034-0.038 docs/s single-threaded
-(26-29 s/invoice). This engine at local[{hi}]: {r_hi["pages_per_sec"]:.0f} pages/s —
-~{r_hi["pages_per_sec"] / 0.036:.0f}x the reference's single-node throughput.
-
-Measured by `scripts/scaling_bench.py`; per-round headline numbers in
-`BENCH_r{{N}}.json` come from `bench.py`.
-"""
-        )
-    print(json.dumps({"low": r_lo, "high": r_hi, "efficiency": round(eff, 3)}))
-    print(f"wrote {md}")
+    # BENCH/BASELINE.md is hand-curated (round history, sf1 rehearsal,
+    # honesty notes) — do NOT overwrite it. Record the raw run next to it;
+    # cite numbers from there when updating the markdown by hand.
+    out_path = os.path.join(REPO, "BENCH", "scaling_latest.json")
+    record = {"n_pages": n_pages, "low": r_lo, "high": r_hi,
+              "efficiency": round(eff, 3)}
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(json.dumps(record))
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

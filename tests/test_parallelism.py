@@ -1,0 +1,75 @@
+"""ensure_min_parallelism: starve-proofing Arrow-kernel scans.
+
+Spark assigns parquet rows to the byte-range split holding their row
+group's midpoint, so a small single-row-group file scans as ONE task no
+matter how many cores exist — measured at the sf1 rehearsal: the LSH
+band-members stage ran 2-task on 32 cores (23.8 s) when the MinHash
+kernel itself costs ~1.3 s at full parallelism. The helper pays one
+small repartition ONLY when the scan is starved; at production file
+counts it must be an identity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.operators import dedup as dd
+from invoice_extraction_spark.plans.parallelism import ensure_min_parallelism
+
+
+@pytest.fixture(scope="module")
+def one_part_docs(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("par") / "docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return spark.read.parquet(p)
+
+
+def test_starved_scan_is_repartitioned(spark, one_part_docs):
+    assert one_part_docs.rdd.getNumPartitions() == 1
+    out = ensure_min_parallelism(one_part_docs)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_already_parallel_input_is_identity(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(target + 4)
+    out = ensure_min_parallelism(df)
+    assert out is df  # no added Exchange, same plan object
+
+
+def test_streaming_frames_pass_through(spark):
+    s = spark.readStream.format("rate").load()
+    assert ensure_min_parallelism(s) is s
+
+
+def test_band_members_results_unchanged_by_repartition(spark, one_part_docs):
+    """The repartition must not change WHAT is computed — band keys and
+    member sets are identical to the unstarved layout (values are
+    order-independent md5 keys + collect_set)."""
+    wide = one_part_docs.repartition(8)
+    a = {
+        (r["band"], tuple(sorted(r["ids"])))
+        for r in dd.band_members(one_part_docs).collect()
+    }
+    b = {
+        (r["band"], tuple(sorted(r["ids"])))
+        for r in dd.band_members(wide).collect()
+    }
+    assert a == b and a
+
+
+def test_lsh_pairs_unchanged(spark, one_part_docs):
+    before = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(one_part_docs).collect()
+    )
+    after = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(one_part_docs.repartition(16)).collect()
+    )
+    assert before == after
