@@ -127,9 +127,13 @@ def update_card_stats(
             processed.append(run_id)
             scanned[run_id] = 0
             continue
-        delta = read_snapshot_delta(spark, table_dir, run_id).withColumn(
-            "_tok", _token_count_col(text_col, token_counter)
-        )
+        from ..plans.parallelism import ensure_min_parallelism
+
+        # starve-proof BEFORE persist: the cache materializes on the first
+        # action, so the _tok kernel must already see a parallel layout
+        delta = ensure_min_parallelism(
+            read_snapshot_delta(spark, table_dir, run_id)
+        ).withColumn("_tok", _token_count_col(text_col, token_counter))
         delta = delta.persist()
         try:
             # per-run OVERWRITE subdirs, agg row LAST: the agg row is the
@@ -189,9 +193,6 @@ def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> N
         row = (run_id, ordinal, 0, 0, 0, 0.0, 0.0, "{}", "{}", token_counter)
     else:
         delta, text_col, lang_col, stratum_col = payload
-        from ..plans.parallelism import ensure_min_parallelism
-
-        delta = ensure_min_parallelism(delta)
         text = F.col(text_col)
         t = delta.withColumn("_q", quality_score(text)).withColumn(
             "_r",

@@ -325,6 +325,7 @@ def band_index(
     """(band, id) rows — the persistable LSH index of a corpus. A daily
     pipeline stores this next to the corpus table (it's k small rows/doc)
     and dedups each NEW batch against it without touching historical text."""
+    df = ensure_min_parallelism(df)
     sigd = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_fast(F.col(text_col), num_bands * rows_per_band).alias("sig"),

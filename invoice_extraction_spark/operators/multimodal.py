@@ -40,6 +40,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.parallelism import ensure_min_parallelism
 from pyspark.sql import types as T
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -429,6 +431,9 @@ def extract_features(
             out["decoded_h"].append(h)
         return pd.DataFrame(out)
 
+    # starve-proof: a small/1-row-group media table scans 1-task and the
+    # decode kernel serializes; no-op at production file counts
+    df = ensure_min_parallelism(df)
     return df.select("media_id", "media_type", "payload").mapInPandas(
         kernel, schema=FEATURE_SCHEMA
     )
@@ -455,7 +460,7 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return (
-        df.filter(F.col("media_type") == "video")
+        ensure_min_parallelism(df.filter(F.col("media_type") == "video"))
         .select("media_id", "payload")
         .mapInPandas(kernel, schema=schema)
     )
@@ -537,7 +542,7 @@ def resize_images(
                 yield _resize_pdf(pdf.iloc[start:])
 
     return (
-        df.filter(F.col("media_type") == "image")
+        ensure_min_parallelism(df.filter(F.col("media_type") == "image"))
         .select("media_id", "payload")
         .mapInPandas(kernel, schema=schema)
     )
