@@ -117,7 +117,11 @@ def _bigrams(t: Column) -> Column:
 def max_bigram_count(text: Column | str) -> Column:
     """Multiplicity of the document's most frequent word bigram. Computed as
     the longest run in the SORTED bigram array (one linear fold — no O(n^2)
-    pairwise compare; stays a Column expression, no Python)."""
+    pairwise compare; stays a Column expression, no Python). NULL text ->
+    NULL (SQL convention; without the guard the bigram fallback slot made
+    this 1 on NULL while dup_token_fraction was NULL — inconsistent, and it
+    diverged from the Arrow kernel, which nulls the whole stats row)."""
+    c = F.col(text) if isinstance(text, str) else text
     b = F.array_sort(_bigrams(tokens(text)))
     run = F.aggregate(
         F.sequence(F.lit(2), F.greatest(F.size(b), F.lit(2))),
@@ -131,7 +135,7 @@ def max_bigram_count(text: Column | str) -> Column:
             ),
         ).otherwise(F.struct(F.lit(1).alias("cur"), acc["best"].alias("best"))),
     )
-    return run["best"]
+    return F.when(c.isNotNull(), run["best"])
 
 
 def top_bigram_fraction(text: Column | str) -> Column:

@@ -83,12 +83,12 @@ def test_fast_kernel_equals_column_forms(spark):
 
     edges = [
         "", "a", "a a", "a b", "a  b ", "x y x y x y x y",
-        "one two three two three two", "  ", "solo",
+        "one two three two three two", "  ", "solo", None,
     ]
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("text")
-        .union(spark.createDataFrame([(t,) for t in edges], ["text"]))
+        .union(spark.createDataFrame([(t,) for t in edges], "text string"))
     )
     s = repetition_stats_fast("text")
     rows = docs.select(
