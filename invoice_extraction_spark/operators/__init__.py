@@ -102,6 +102,12 @@ _EXPORTS = {
     # skew
     "key_skew_report": ".skew",
     "salted_join": ".skew",
+    # span dedup (Lee et al. exact-substring family)
+    "duplicate_span_intervals": ".span_dedup",
+    "gram_occurrences": ".span_dedup",
+    "hot_grams": ".span_dedup",
+    "remove_duplicate_spans": ".span_dedup",
+    "span_dedup_stats": ".span_dedup",
     # similarity
     "brute_force_topk": ".similarity",
     "embedding_topk_pairs": ".similarity",

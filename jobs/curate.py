@@ -67,6 +67,14 @@ def main(argv=None):
         "corpus-wide (C4-style chrome removal)",
     )
     ap.add_argument(
+        "--span-dedup",
+        type=int,
+        default=None,
+        metavar="L",
+        help="cut every non-canonical verbatim repeated span of >= L tokens "
+        "(Lee et al. exact-substring dedup; keeps one occurrence)",
+    )
+    ap.add_argument(
         "--fix-text",
         action="store_true",
         help="repair text in place (mojibake round-trip, control-char strip, "
@@ -164,6 +172,17 @@ def main(argv=None):
         df = record(
             "line_dedup",
             dedup_lines(df, text_col=text_col, id_col=id_col, min_docs=args.line_dedup),
+        )
+    if args.span_dedup:
+        from invoice_extraction_spark.operators.span_dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = record(
+            "span_dedup",
+            remove_duplicate_spans(
+                df, text_col=text_col, id_col=id_col, l=args.span_dedup
+            ).drop("n_tokens_removed"),
         )
     if args.fix_text:
         from invoice_extraction_spark.functions.textfix import clean_text

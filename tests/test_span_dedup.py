@@ -1,0 +1,170 @@
+"""Exact substring (span) dedup — Lee et al. 2022 family
+(operators/span_dedup.py): canonical occurrence survives verbatim, every
+other verbatim occurrence of an L-token span is cut, overlapping grams
+merge into one cut, and the whole pipeline (intervals AND the rewritten
+corpus) hash-matches an independent DuckDB twin under the driver's
+comparator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.operators.span_dedup import (
+    duplicate_span_intervals,
+    gram_occurrences,
+    hot_grams,
+    remove_duplicate_spans,
+    span_dedup_stats,
+)
+from tests.parity import assert_parity, duck
+
+L = 4  # small span threshold so the fixture exercises real overlaps
+
+SHARED = "alpha beta gamma delta epsilon zeta"  # 6 tokens: 3 overlapping 4-grams
+DOCS = [
+    # canonical holder of SHARED (lowest id containing it at pos 3)
+    (1, f"one two {SHARED} seven eight"),
+    # later occurrence -> the whole 6-token span must be cut (3 grams merge)
+    (2, f"nine ten {SHARED} eleven"),
+    # within-doc repeat: second occurrence cut, first kept
+    (3, "p q r s x p q r s y"),
+    # no duplicated span
+    (4, "unique words only here nothing repeats"),
+    # shorter than L tokens: contributes nothing, survives untouched
+    (5, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _twin_sql(with_rewrite: bool) -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+    base = f"""
+    WITH d(doc_id, text) AS (VALUES {vals}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+    occ AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(t[i:i+{L - 1}], ' ')) AS gh
+      FROM toks, unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT gh, COUNT(*) AS n_occ,
+             MIN(printf('%015d:%015d', doc_id, pos)) AS canon
+      FROM occ GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    iv AS (
+      SELECT o.doc_id AS id, o.pos AS start, o.pos + {L} AS "end"
+      FROM occ o JOIN hot h USING (gh)
+      WHERE printf('%015d:%015d', o.doc_id, o.pos) <> h.canon
+    )
+    """
+    if not with_rewrite:
+        return base + 'SELECT id, start, "end" FROM iv ORDER BY id, start, "end"'
+    return base + """
+    , covered AS (
+      SELECT DISTINCT id, CAST(p AS INT) AS p
+      FROM iv, unnest(range(start, "end")) AS u(p)
+    ),
+    pos_tok AS (
+      SELECT doc_id, CAST(i AS INT) AS p, t[i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT pt.doc_id, pt.p, pt.tok
+      FROM pos_tok pt LEFT JOIN covered c ON c.id = pt.doc_id AND c.p = pt.p
+      WHERE c.id IS NULL
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text
+    FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+
+
+def test_intervals_match_duckdb_twin(spark, docs):
+    iv = duplicate_span_intervals(docs, l=L).orderBy("id", "start", "end")
+    assert_parity(iv, duck(), _twin_sql(with_rewrite=False))
+
+
+def test_rewrite_matches_duckdb_twin(spark, docs):
+    out = remove_duplicate_spans(docs, l=L).select("doc_id", "text").orderBy("doc_id")
+    assert_parity(out, duck(), _twin_sql(with_rewrite=True))
+
+
+def test_semantics(spark, docs):
+    rows = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_duplicate_spans(docs, l=L).collect()
+    }
+    # canonical holder unchanged
+    assert rows[1] == (f"one two {SHARED} seven eight", 0)
+    # later occurrence: whole 6-token shared span removed (overlaps merged)
+    assert rows[2] == ("nine ten eleven", 6)
+    # within-doc repeat: first occurrence kept, second cut
+    assert rows[3] == ("p q r s x y", 4)
+    # untouched docs
+    assert rows[4][1] == 0 and rows[5] == ("tiny doc", 0)
+
+
+def test_stats(spark, docs):
+    s = span_dedup_stats(docs, l=L).collect()[0]
+    # 3 overlapping shared grams + 1 within-doc gram are hot
+    assert s["n_hot_grams"] == 4
+    assert s["n_hot_occurrences"] == 8
+    assert s["n_cut_intervals"] == 4
+    assert s["n_docs_touched"] == 2
+
+
+def test_short_and_null_docs_pass_through(spark):
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(d, l=4).collect()}
+    assert out[1]["text"] == "a b"
+    assert out[2]["text"] is None and out[2]["n_tokens_removed"] == 0
+    assert out[3]["text"] == ""
+    assert gram_occurrences(d, l=4).count() == 0
+
+
+def test_corpus_roundtrip_no_dups_is_identity(spark):
+    """With L beyond any document's length nothing qualifies — the rewrite
+    must be byte-identical passthrough. (At L=60 the corpus genuinely has
+    13 docs sharing long spans — the planted near-dup pairs — which is the
+    operator doing its job, not noise.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    max_tokens = docs.agg(F.max(F.size(F.split("text", " ")))).collect()[0][0]
+    out = remove_duplicate_spans(docs, l=max_tokens + 1)
+    assert out.filter(F.col("n_tokens_removed") > 0).count() == 0
+    a = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    b = {r["doc_id"]: r["text"] for r in out.select("doc_id", "text").collect()}
+    assert a == b
+
+
+def test_corpus_near_dups_are_cut_and_shrink_only(spark):
+    """At L=60 the corpus's planted near-dup pairs ARE span-duplicated:
+    the rewrite touches exactly the later twins, never grows a doc, and
+    canonical docs stay verbatim."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = remove_duplicate_spans(docs, l=60)
+    touched = out.filter(F.col("n_tokens_removed") > 0)
+    assert touched.count() == 13
+    before = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out.collect():
+        if r["n_tokens_removed"]:
+            assert len(r["text"]) < len(before[r["doc_id"]])
+        else:
+            assert r["text"] == before[r["doc_id"]]
+
+
+def test_hot_grams_is_persistable_index(spark, docs):
+    occ = gram_occurrences(docs, l=L)
+    hot = hot_grams(occ)
+    assert {r["gh"] for r in hot.collect()} == {
+        r["gh"]
+        for r in occ.groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .filter("n >= 2")
+        .collect()
+    }
