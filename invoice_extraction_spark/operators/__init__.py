@@ -104,6 +104,9 @@ _EXPORTS = {
     "salted_join": ".skew",
     # span dedup (Lee et al. exact-substring family)
     "duplicate_span_intervals": ".span_dedup",
+    "merge_gram_index": ".span_dedup",
+    "remove_duplicate_spans_incremental": ".span_dedup",
+    "span_gram_index": ".span_dedup",
     "gram_occurrences": ".span_dedup",
     "hot_grams": ".span_dedup",
     "remove_duplicate_spans": ".span_dedup",

@@ -186,20 +186,98 @@ def remove_duplicate_spans(
         if intervals is not None
         else duplicate_span_intervals(df, text_col, id_col, l, min_count)
     )
-    per_doc = iv.groupBy("id").agg(
-        F.collect_list(F.struct("start", "end")).alias("_spans")
+    # collision-safe internal names: a caller's table may itself be keyed
+    # "id" (or carry "_spans"), and an ambiguous join/drop would corrupt it
+    per_doc = iv.groupBy(F.col("id").alias("_sd_id")).agg(
+        F.collect_list(F.struct("start", "end")).alias("_sd_spans")
     )
     joined = ensure_min_parallelism(df).join(
-        per_doc, F.col(id_col) == F.col("id"), "left"
-    ).drop("id")
+        per_doc, F.col(id_col) == F.col("_sd_id"), "left"
+    ).drop("_sd_id")
     cut = F.pandas_udf(_cut_spans_kernel, _CUT_SCHEMA)(
-        F.col(text_col), F.col("_spans")
+        F.col(text_col), F.col("_sd_spans")
     )
     return (
-        joined.withColumn("_cut", cut)
-        .withColumn(text_col, F.col("_cut.text"))
-        .withColumn("n_tokens_removed", F.coalesce(F.col("_cut.n_tokens_removed"), F.lit(0)))
-        .drop("_spans", "_cut")
+        joined.withColumn("_sd_cut", cut)
+        .withColumn(text_col, F.col("_sd_cut.text"))
+        .withColumn(
+            "n_tokens_removed",
+            F.coalesce(F.col("_sd_cut.n_tokens_removed"), F.lit(0)),
+        )
+        .drop("_sd_spans", "_sd_cut")
+    )
+
+
+def span_gram_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """(gh, n_occ, canon) for EVERY gram of a corpus — the persistable
+    span-dedup index (the band-index analog). O(distinct grams) hash rows;
+    heavier than the LSH index (O(tokens) vs k rows per doc) but it is
+    what exact incremental span dedup fundamentally requires: a new span
+    duplicates history iff its gram hash is present at all."""
+    return (
+        gram_occurrences(df, text_col, id_col, l)
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_occ"), F.min(_ckey("id", "pos")).alias("canon"))
+    )
+
+
+def remove_duplicate_spans_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l: int = DEFAULT_SPAN_TOKENS,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Span-dedup a NEW batch against a persisted ``span_gram_index``
+    WITHOUT touching historical text. Returns ``(rewritten_batch,
+    index_delta)``; persist ``merge_gram_index(index, delta)`` for the
+    next batch.
+
+    Contract (same asymmetry as ``dedup_incremental``): history is
+    immutable, so an indexed gram's canonical occurrence lives in history
+    and EVERY new occurrence of it is cut — regardless of id ordering.
+    Grams new to this batch dedup among themselves (batch-canonical
+    survives). Process each batch exactly once (the atomic-commit
+    pipeline's run_id bookkeeping guarantees that); replaying a batch
+    against an index already containing its delta would cut its canonical
+    occurrences too.
+    """
+    occ = gram_occurrences(new_df, text_col, id_col, l)
+    # the probe only needs gram presence — shuffle hash keys, never text
+    hist = index.select("gh").distinct()
+    hist_hits = occ.join(hist, "gh", "left_semi").select(
+        "id", F.col("pos").alias("start"), (F.col("pos") + l).alias("end")
+    )
+    fresh_occ = occ.join(hist, "gh", "left_anti")
+    fresh_iv = duplicate_span_intervals(
+        new_df, text_col, id_col, l, min_count, occ=fresh_occ
+    )
+    iv = hist_hits.unionByName(fresh_iv)
+    out = remove_duplicate_spans(
+        new_df, text_col, id_col, l, min_count, intervals=iv
+    )
+    delta = occ.groupBy("gh").agg(
+        F.count("*").alias("n_occ"), F.min(_ckey("id", "pos")).alias("canon")
+    )
+    return out, delta
+
+
+def merge_gram_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a batch delta into the index: counts add; the HISTORICAL
+    canonical wins when present (first-seen, not global min — history is
+    already committed and must stay the survivor)."""
+    a = index.select("gh", F.col("n_occ").alias("_n_a"), F.col("canon").alias("_c_a"))
+    b = delta.select("gh", F.col("n_occ").alias("_n_b"), F.col("canon").alias("_c_b"))
+    return a.join(b, "gh", "full_outer").select(
+        "gh",
+        (F.coalesce("_n_a", F.lit(0)) + F.coalesce("_n_b", F.lit(0))).alias("n_occ"),
+        F.coalesce("_c_a", "_c_b").alias("canon"),
     )
 
 

@@ -158,6 +158,64 @@ def test_corpus_near_dups_are_cut_and_shrink_only(spark):
             assert r["text"] == before[r["doc_id"]]
 
 
+def test_id_column_named_id_survives(spark):
+    """A table keyed by a column literally named 'id' must not collide
+    with the operator's internal join key."""
+    d = spark.createDataFrame(
+        [(1, "a b c d e x"), (2, "z a b c d e")], ["id", "text"]
+    )
+    out = {r["id"]: r for r in remove_duplicate_spans(d, id_col="id", l=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "a b c d e x"  # canonical holder
+    assert out[2]["text"] == "z" and out[2]["n_tokens_removed"] == 5
+
+
+def test_incremental_against_persisted_index(spark):
+    """History is immutable: every new occurrence of an indexed gram is
+    cut even when the new doc's id is SMALLER than the historical
+    canonical's; grams new to the batch dedup among themselves; the
+    merged index adds counts and keeps historical canonicals."""
+    from invoice_extraction_spark.operators.span_dedup import (
+        merge_gram_index,
+        remove_duplicate_spans_incremental,
+        span_gram_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, f"h1 h2 {SHARED} h3"), (101, "other historical words entirely")],
+        ["doc_id", "text"],
+    )
+    index = span_gram_index(hist, l=L)
+
+    batch = spark.createDataFrame(
+        [
+            # id 0 < 100 but history still wins: the whole span is cut
+            (0, f"n1 {SHARED} n2"),
+            # a NEW span duplicated within the batch: 11 survives, 12 cut
+            (11, "w x y z q a"),
+            (12, "b w x y z q"),
+            (13, "nothing shared at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out, delta = remove_duplicate_spans_incremental(batch, index, l=L)
+    rows = {r["doc_id"]: (r["text"], r["n_tokens_removed"]) for r in out.collect()}
+    assert rows[0] == ("n1 n2", 6)  # history's span cut despite smaller id
+    assert rows[11] == ("w x y z q a", 0)  # batch-canonical survives
+    assert rows[12] == ("b", 5)
+    assert rows[13][1] == 0
+
+    merged = merge_gram_index(index, delta)
+    m = {r["gh"]: (r["n_occ"], r["canon"]) for r in merged.collect()}
+    i = {r["gh"]: (r["n_occ"], r["canon"]) for r in index.collect()}
+    d = {r["gh"]: (r["n_occ"], r["canon"]) for r in delta.collect()}
+    for gh, (n, canon) in i.items():
+        assert m[gh][1] == canon  # historical canonical never changes
+        assert m[gh][0] == n + d.get(gh, (0,))[0]
+    for gh in set(d) - set(i):
+        assert m[gh] == d[gh]
+
+
 def test_hot_grams_is_persistable_index(spark, docs):
     occ = gram_occurrences(docs, l=L)
     hot = hot_grams(occ)
