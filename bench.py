@@ -79,24 +79,28 @@ def _trimmed_median(walls: list[float]) -> float:
     return _median(sorted(walls)[1:-1])
 
 
-def _wait_for_quiet(max_load: float, max_wait_s: float) -> tuple[bool, float]:
+def _wait_for_quiet(max_load: float, max_wait_s: float) -> tuple[bool, float, float]:
     """Poll loadavg until the host is quiet or the budget runs out. Checks
     the 1-min AND (with 1.5x slack) the 5-min average — a run started
     seconds after another heavy job sees a deceptively low 1-min load while
     the box is still draining (measured: a 1.48x headline gap between a
     load-0.75 start and a load-1.78 start). Only meaningful BEFORE any
-    Spark work (our own executors dominate the load once the bench runs)."""
+    Spark work (our own executors dominate the load once the bench runs).
+
+    Returns BOTH averages so a ``quiet: false`` record shows WHICH term
+    failed — a run rejected on the 5-min term used to record only a
+    deceptively low 1-min value, undercutting the audit trail."""
     deadline = time.time() + max_wait_s
 
     def _ok():
         l1, l5, _ = os.getloadavg()
-        return (l1 <= max_load and l5 <= 1.5 * max_load), l1
+        return (l1 <= max_load and l5 <= 1.5 * max_load), l1, l5
 
-    ok, load = _ok()
+    ok, l1, l5 = _ok()
     while not ok and time.time() < deadline:
         time.sleep(10)
-        ok, load = _ok()
-    return ok, round(load, 2)
+        ok, l1, l5 = _ok()
+    return ok, round(l1, 2), round(l5, 2)
 
 
 def main():
@@ -109,7 +113,7 @@ def main():
     sf = float(m.group(1)) if m else 0.1
     n_pages = int(sf * 500_000)
 
-    quiet, load_at_start = _wait_for_quiet(max_load, quiet_wait)
+    quiet, load_at_start, load_at_start_5m = _wait_for_quiet(max_load, quiet_wait)
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -189,6 +193,7 @@ def main():
         "n_pages": n_pages,
         "quiet": quiet,
         "load_at_start": load_at_start,
+        "load_at_start_5m": load_at_start_5m,
         "synth_wall": synth_wall,
         "extract_wall": extract_wall,
         "extract_wall_best": extract_best,
@@ -199,9 +204,9 @@ def main():
         "max_rep_spread": round(spread, 2),
         "dispersion_note": (
             "trimmed-median-of-%d headline, load-gated start (1-min load "
-            "%.2f, quiet=%s); per-rep walls + bests kept for audit "
-            "(worst/best spread %.1fx this run)"
-            % (reps, load_at_start, quiet, spread)
+            "%.2f, 5-min %.2f, quiet=%s); per-rep walls + bests kept for "
+            "audit (worst/best spread %.1fx this run)"
+            % (reps, load_at_start, load_at_start_5m, quiet, spread)
         ),
         "reps": reps,
         "pages_per_sec": round(n_pages / extract_wall, 1),

@@ -93,22 +93,36 @@ def dedup_by_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     pick the same survivor). The cheap first dedup tier every crawl pipeline
     runs BEFORE text hashing: the groupBy shuffles only short
     (canon, url, fp) strings; the semi-join keys on the unique fingerprint so
-    duplicate-url rows cannot all sneak through."""
+    duplicate-url rows cannot all sneak through. Internal columns use
+    collision-safe _cud_* names (ADVICE r4: a caller table already carrying
+    a bare ``_fp`` column was silently overwritten and dropped — the same
+    hazard span_dedup's _sd_* naming guards against)."""
+    for reserved in ("_cud_fp", "_cud_canon"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"dedup_by_canonical_url: input already has a {reserved!r} column"
+            )
     fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
-    keyed = df.withColumn("_fp", fp)
+    keyed = df.withColumn("_cud_fp", fp)
     keep = (
-        keyed.select(canonical_url(F.col(url_col)).alias("_canon"), url_col, "_fp")
-        .groupBy("_canon")
+        keyed.select(
+            canonical_url(F.col(url_col)).alias("_cud_canon"), url_col, "_cud_fp"
+        )
+        .groupBy("_cud_canon")
         .agg(
             F.min_by(
-                F.col("_fp"), F.struct(F.col(url_col), F.col("_fp"))
-            ).alias("_fp")
+                F.col("_cud_fp"), F.struct(F.col(url_col), F.col("_cud_fp"))
+            ).alias("_cud_fp")
         )
-        .select("_fp")
+        .select("_cud_fp")
     )
     # byte-identical rows share a fingerprint — collapse them too (the pick
     # is trivially deterministic: the rows are equal)
-    return keyed.join(keep, "_fp", "left_semi").dropDuplicates(["_fp"]).drop("_fp")
+    return (
+        keyed.join(keep, "_cud_fp", "left_semi")
+        .dropDuplicates(["_cud_fp"])
+        .drop("_cud_fp")
+    )
 
 
 def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:

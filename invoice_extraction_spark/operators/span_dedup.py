@@ -241,20 +241,35 @@ def remove_duplicate_spans_incremental(
 
     Contract (same asymmetry as ``dedup_incremental``): history is
     immutable, so an indexed gram's canonical occurrence lives in history
-    and EVERY new occurrence of it is cut — regardless of id ordering.
-    Grams new to this batch dedup among themselves (batch-canonical
-    survives). Process each batch exactly once (the atomic-commit
-    pipeline's run_id bookkeeping guarantees that); replaying a batch
-    against an index already containing its delta would cut its canonical
-    occurrences too.
+    and every new occurrence of it is cut ONCE the merged count (index
+    ``n_occ`` + this batch's occurrences) reaches ``min_count`` — the same
+    corpus-wide threshold ``remove_duplicate_spans`` applies over the
+    concatenated corpus (ADVICE r4: presence-only cutting diverged for
+    min_count > 2, cutting spans below the corpus-wide threshold). Grams
+    new to this batch dedup among themselves (batch-canonical survives).
+    Process each batch exactly once (the atomic-commit pipeline's run_id
+    bookkeeping guarantees that); replaying a batch against an index
+    already containing its delta would cut its canonical occurrences too.
     """
     occ = gram_occurrences(new_df, text_col, id_col, l)
-    # the probe only needs gram presence — shuffle hash keys, never text
-    hist = index.select("gh").distinct()
+    # the probe only needs gram hashes + counts — shuffle hash keys, never
+    # text. Threshold on the MERGED count so batched == concatenated.
+    presence = index.select("gh")
+    batch_counts = occ.groupBy("gh").agg(F.count("*").alias("_b_n"))
+    hist = (
+        index.select("gh", "n_occ")
+        .join(batch_counts, "gh")
+        .filter(F.col("n_occ") + F.col("_b_n") >= min_count)
+        .select("gh")
+    )
     hist_hits = occ.join(hist, "gh", "left_semi").select(
         "id", F.col("pos").alias("start"), (F.col("pos") + l).alias("end")
     )
-    fresh_occ = occ.join(hist, "gh", "left_anti")
+    # fresh = never seen in history AT ALL (presence, not threshold): an
+    # indexed below-threshold gram must wait for the merged count — its
+    # canonical lives in history, so the batch-local fresh path would pick
+    # the wrong survivor
+    fresh_occ = occ.join(presence, "gh", "left_anti")
     fresh_iv = duplicate_span_intervals(
         new_df, text_col, id_col, l, min_count, occ=fresh_occ
     )

@@ -37,20 +37,23 @@ def test_trimmed_median_small_rep_fallback(bench):
     assert bench._trimmed_median([1.0, 2.0, 30.0]) == 2.0
 
 
-def test_quiet_gate_rejects_draining_host(bench, monkeypatch):
+def test_quiet_gate_rejects_draining_host_and_reports_why(bench, monkeypatch):
     """1-min load low but 5-min high = box still draining a prior job:
     the gate must NOT report quiet (this exact shape produced the 1.48x
-    slow run that motivated the 5-min check)."""
+    slow run that motivated the 5-min check) — and it must RECORD the
+    failing 5-min value, so a quiet:false row is auditable instead of
+    showing only a deceptively low 1-min number (ADVICE r4)."""
     monkeypatch.setattr(os, "getloadavg", lambda: (0.75, 5.0, 3.0))
-    ok, load = bench._wait_for_quiet(max_load=1.0, max_wait_s=0)
+    ok, l1, l5 = bench._wait_for_quiet(max_load=1.0, max_wait_s=0)
     assert not ok
-    assert load == 0.75
+    assert l1 == 0.75
+    assert l5 == 5.0  # the term that actually failed is visible
 
 
 def test_quiet_gate_accepts_quiet_host(bench, monkeypatch):
     monkeypatch.setattr(os, "getloadavg", lambda: (0.2, 0.9, 1.2))
-    ok, load = bench._wait_for_quiet(max_load=1.0, max_wait_s=0)
-    assert ok and load == 0.2
+    ok, l1, l5 = bench._wait_for_quiet(max_load=1.0, max_wait_s=0)
+    assert ok and l1 == 0.2 and l5 == 0.9
 
 
 def test_quiet_gate_waits_then_succeeds(bench, monkeypatch):
@@ -65,5 +68,5 @@ def test_quiet_gate_waits_then_succeeds(bench, monkeypatch):
 
     monkeypatch.setattr(os, "getloadavg", fake_loadavg)
     monkeypatch.setattr(bench.time, "sleep", fake_sleep)
-    ok, load = bench._wait_for_quiet(max_load=1.0, max_wait_s=60)
-    assert ok and load == 0.5
+    ok, l1, l5 = bench._wait_for_quiet(max_load=1.0, max_wait_s=60)
+    assert ok and l1 == 0.5 and l5 == 0.8

@@ -216,6 +216,44 @@ def test_incremental_against_persisted_index(spark):
         assert m[gh] == d[gh]
 
 
+def test_incremental_min_count_uses_merged_count(spark):
+    """ADVICE r4: with min_count > 2 the incremental path must threshold on
+    the MERGED count (index n_occ + batch occurrences), matching
+    ``remove_duplicate_spans`` over the concatenated corpus — presence-only
+    cutting removed spans below the corpus-wide threshold."""
+    from invoice_extraction_spark.operators.span_dedup import (
+        remove_duplicate_spans_incremental,
+        span_gram_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, f"h1 h2 {SHARED} h3")], ["doc_id", "text"]
+    )
+    index = span_gram_index(hist, l=L)
+
+    # one historical + ONE batch occurrence = 2 < min_count=3: nothing cut
+    batch1 = spark.createDataFrame([(10, f"n1 {SHARED} n2")], ["doc_id", "text"])
+    out1, _ = remove_duplicate_spans_incremental(batch1, index, l=L, min_count=3)
+    assert out1.collect()[0]["n_tokens_removed"] == 0
+
+    # one historical + TWO batch occurrences = 3 >= min_count=3: BOTH batch
+    # occurrences cut (historical canonical wins)
+    batch2 = spark.createDataFrame(
+        [(10, f"n1 {SHARED} n2"), (11, f"m1 {SHARED} m2")], ["doc_id", "text"]
+    )
+    out2, _ = remove_duplicate_spans_incremental(batch2, index, l=L, min_count=3)
+    rows = {r["doc_id"]: (r["text"], r["n_tokens_removed"]) for r in out2.collect()}
+    assert rows[10] == ("n1 n2", 6)
+    assert rows[11] == ("m1 m2", 6)
+
+    # batched == concatenated: the same corpus through the one-shot op
+    # (history ids sort first, so the global canonical IS the history one)
+    whole = remove_duplicate_spans(hist.unionByName(batch2), l=L, min_count=3)
+    w = {r["doc_id"]: (r["text"], r["n_tokens_removed"]) for r in whole.collect()}
+    assert w[10] == rows[10] and w[11] == rows[11]
+    assert w[1][1] == 0  # canonical holder untouched in both framings
+
+
 def test_hot_grams_is_persistable_index(spark, docs):
     occ = gram_occurrences(docs, l=L)
     hot = hot_grams(occ)

@@ -97,6 +97,33 @@ def test_dedup_by_canonical_url_duplicate_urls_distinct_payloads(spark):
     assert {u for u, _ in got1} == {"http://h.io/p", "http://h.io/q"}
 
 
+def test_dedup_by_canonical_url_preserves_caller_fp_column(spark):
+    """ADVICE r4: a caller table already carrying a bare ``_fp`` column was
+    silently overwritten by the internal fingerprint and dropped on exit
+    (data loss). Collision-safe _cud_* names must leave it intact."""
+    rows = [
+        ("http://h.io/p?a=1", "user-fp-1"),
+        ("http://h.io/p?a=1&utm_source=tw", "user-fp-2"),
+        ("http://h.io/q", "user-fp-3"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "_fp"])
+    got = dedup_by_canonical_url(df)
+    assert "_fp" in got.columns
+    kept = sorted(map(tuple, got.collect()))
+    assert kept == [
+        ("http://h.io/p?a=1", "user-fp-1"),
+        ("http://h.io/q", "user-fp-3"),
+    ]
+
+
+def test_dedup_by_canonical_url_rejects_reserved_names(spark):
+    df = spark.createDataFrame([("http://h.io/p", 1)], ["url", "_cud_fp"])
+    import pytest
+
+    with pytest.raises(ValueError, match="_cud_fp"):
+        dedup_by_canonical_url(df)
+
+
 def test_host_stats_rollup(spark):
     urls = ["http://a.io/1", "http://a.io/2", "https://b.io/1"]
     got = {r["host"]: r["n_docs"] for r in host_stats(_df(spark, urls)).collect()}
