@@ -47,7 +47,7 @@ from ..functions.text_metrics import (
     repetition_stats_fast,
     token_count,
 )
-from ..sources.atomic import list_manifests, read_snapshot_delta
+from ..sources.atomic import _read_manifests, list_manifests, read_snapshot_delta
 from .cms import (
     DEFAULT_DEPTH,
     DEFAULT_WIDTH,
@@ -106,7 +106,18 @@ def update_card_stats(
     """Bring the stats store up to date with the table: one pass over each
     UNPROCESSED snapshot's delta, nothing else. Returns
     ``{"processed": [run_id, ...], "scanned_files": {run_id: n}}`` —
-    the O(delta) evidence the tests assert on."""
+    the O(delta) evidence the tests assert on.
+
+    Vacuumed pre-compaction history (ADVICE r4): a first incremental run on
+    a table that was ``compact()``-ed then ``vacuum()``-ed cannot read the
+    pre-compaction deltas (their files are gone). Those snapshots are
+    absorbed by BOOTSTRAPPING from the compaction base — the base holds
+    every row up to its point, so one scan of it yields exact stats for the
+    whole absorbed history (recorded under the base's run_id; the absorbed
+    snapshots get zero-marker rows so they are never attempted again). If
+    the store already covers SOME of the unreadable history, bootstrapping
+    would double-count — that mixed state raises with instructions to
+    rebuild the stats store fresh."""
     agg_dir = os.path.join(stats_dir, "agg")
     done: set[str] = set()
     if os.path.isdir(agg_dir):
@@ -116,60 +127,122 @@ def update_card_stats(
 
     processed: list[str] = []
     scanned: dict[str, int] = {}
-    for ordinal, m in enumerate(list_manifests(table_dir)):
+    manifests = list_manifests(table_dir)
+    deferred: list[tuple[int, dict]] = []  # unreadable (vacuumed) deltas
+    for ordinal, m in enumerate(manifests):
         run_id = m["run_id"]
         if run_id in done:
             continue
         if m.get("base"):
-            # compaction: rewrites prior rows, appends none — record an
-            # empty stats row so the store knows it's been considered
-            _write_agg_row(spark, agg_dir, run_id, ordinal, None, token_counter)
+            if any(not os.path.exists(f) for f in m["files"]):
+                # superseded base (a LATER compaction made its files
+                # vacuum-able) — absorbed by that later base like any
+                # other unreadable snapshot
+                deferred.append((ordinal, m))
+                continue
+            prior_covered = [
+                mm["run_id"]
+                for mm in manifests[:ordinal]
+                if mm["run_id"] in done or mm["run_id"] in processed
+            ]
+            if deferred and prior_covered:
+                raise ValueError(
+                    f"stats store at {stats_dir} covers part of the "
+                    f"pre-compaction history ({sorted(prior_covered)}) but "
+                    f"{[mm['run_id'] for _o, mm in deferred]} have vacuumed "
+                    "deltas — bootstrapping from the compaction base would "
+                    "double-count. Delete the stats dir and rerun to "
+                    "bootstrap cleanly."
+                )
+            if deferred:
+                # bootstrap: one scan of the base covers ALL absorbed
+                # pre-compaction rows exactly; mark the absorbed snapshots
+                # so they're never attempted again
+                for o2, m2 in deferred:
+                    _write_agg_row(
+                        spark, agg_dir, m2["run_id"], o2, None, token_counter
+                    )
+                    processed.append(m2["run_id"])
+                    scanned[m2["run_id"]] = 0
+                deferred = []
+                base_df = _read_manifests(spark, [m], table_dir)
+                _process_snapshot(
+                    spark, stats_dir, agg_dir, run_id, ordinal, base_df,
+                    text_col, lang_col, stratum_col, token_counter,
+                    cms_depth, cms_width,
+                )
+                scanned[run_id] = len(m["files"])
+            else:
+                # compaction with fully-covered history: rewrites prior
+                # rows, appends none — record an empty marker row
+                _write_agg_row(spark, agg_dir, run_id, ordinal, None, token_counter)
+                scanned[run_id] = 0
             processed.append(run_id)
-            scanned[run_id] = 0
             continue
-        from ..plans.parallelism import ensure_min_parallelism
-
-        # starve-proof BEFORE persist: the cache materializes on the first
-        # action, so the _tok kernel must already see a parallel layout
-        delta = ensure_min_parallelism(
-            read_snapshot_delta(spark, table_dir, run_id)
-        ).withColumn("_tok", _token_count_col(text_col, token_counter))
-        delta = delta.persist()
-        try:
-            # per-run OVERWRITE subdirs, agg row LAST: the agg row is the
-            # completion marker (the done-check keys on it), so a crash
-            # between writes just reprocesses the snapshot and each
-            # overwrite is idempotent — no silent undercount (agg-first)
-            # and no double-append (append-mode stores) either way
-            delta.groupBy(
-                F.coalesce(F.col("_tok"), F.lit(0)).cast("bigint").alias("value")
-            ).agg(F.count("*").cast("bigint").alias("n")).withColumn(
-                "run_id", F.lit(run_id)
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(stats_dir, "hist", run_id)
-            )
-            toks = _tokens(delta, text_col)
-            cms_sketch(toks, depth=cms_depth, width=cms_width).withColumn(
-                "run_id", F.lit(run_id)
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(stats_dir, "cms", run_id)
-            )
-            local_top_candidates(toks, n=TOP_N_CANDIDATES).withColumn(
-                "run_id", F.lit(run_id)
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(stats_dir, "cand", run_id)
-            )
-            scanned[run_id] = len(
-                read_snapshot_delta(spark, table_dir, run_id).inputFiles()
-            )
-            _write_agg_row(
-                spark, agg_dir, run_id, ordinal, (delta, text_col, lang_col, stratum_col),
-                token_counter,
-            )
-        finally:
-            delta.unpersist()
+        missing = [f for f in m["files"] if not os.path.exists(f)]
+        if missing:
+            deferred.append((ordinal, m))
+            continue
+        _process_snapshot(
+            spark, stats_dir, agg_dir, run_id, ordinal,
+            read_snapshot_delta(spark, table_dir, run_id),
+            text_col, lang_col, stratum_col, token_counter, cms_depth, cms_width,
+        )
+        scanned[run_id] = len(m["files"])
         processed.append(run_id)
+    if deferred:
+        raise FileNotFoundError(
+            f"snapshot(s) {[mm['run_id'] for _o, mm in deferred]} in "
+            f"{table_dir} have vacuumed data files and no later compaction "
+            "base to bootstrap from — the table is unreadable at those "
+            "snapshots (this state normally cannot arise: vacuum only "
+            "collects files a compaction superseded)."
+        )
     return {"processed": processed, "scanned_files": scanned}
+
+
+def _process_snapshot(
+    spark, stats_dir, agg_dir, run_id, ordinal, delta_df,
+    text_col, lang_col, stratum_col, token_counter, cms_depth, cms_width,
+) -> None:
+    """One snapshot's full stats pass (hist / cms / cand / agg). The agg row
+    is written LAST as the completion marker (the done-check keys on it), so
+    a crash between writes just reprocesses the snapshot and each overwrite
+    is idempotent — no silent undercount (agg-first) and no double-append
+    (append-mode stores) either way."""
+    from ..plans.parallelism import ensure_min_parallelism
+
+    # starve-proof BEFORE persist: the cache materializes on the first
+    # action, so the _tok kernel must already see a parallel layout
+    delta = ensure_min_parallelism(delta_df).withColumn(
+        "_tok", _token_count_col(text_col, token_counter)
+    )
+    delta = delta.persist()
+    try:
+        delta.groupBy(
+            F.coalesce(F.col("_tok"), F.lit(0)).cast("bigint").alias("value")
+        ).agg(F.count("*").cast("bigint").alias("n")).withColumn(
+            "run_id", F.lit(run_id)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stats_dir, "hist", run_id)
+        )
+        toks = _tokens(delta, text_col)
+        cms_sketch(toks, depth=cms_depth, width=cms_width).withColumn(
+            "run_id", F.lit(run_id)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stats_dir, "cms", run_id)
+        )
+        local_top_candidates(toks, n=TOP_N_CANDIDATES).withColumn(
+            "run_id", F.lit(run_id)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stats_dir, "cand", run_id)
+        )
+        _write_agg_row(
+            spark, agg_dir, run_id, ordinal,
+            (delta, text_col, lang_col, stratum_col), token_counter,
+        )
+    finally:
+        delta.unpersist()
 
 
 def _write_agg_row(spark, agg_dir, run_id, ordinal, payload, token_counter) -> None:
@@ -232,12 +305,24 @@ def card_from_stats(
 ) -> dict:
     """Assemble the card numbers by MERGING the stats store — cost is the
     store size (rows per snapshot), independent of table size. Additive
-    numbers are exact; quantiles are the KLL union (rank-error bounded);
-    top terms are CMS estimates over the candidate union."""
+    numbers are exact; quantiles are the exact-histogram fold; top terms
+    are CMS estimates over the candidate union.
+
+    The fold is reconciled with the table's CURRENT manifest chain
+    (ADVICE r4): stats rows whose snapshot was ``rollback()``-archived are
+    orphans — folding them silently overcounts rolled-back docs/tokens —
+    so they are pruned here and reported under ``orphaned_snapshots``."""
+    manifests = list_manifests(table_dir)
+    live = {m["run_id"] for m in manifests}
     agg = spark.read.parquet(os.path.join(stats_dir, "agg")).orderBy("ordinal")
-    rows = agg.collect()
+    all_rows = agg.collect()
+    rows = [r for r in all_rows if r["run_id"] in live]
+    orphaned = sorted({r["run_id"] for r in all_rows} - live)
     if not rows:
-        raise FileNotFoundError(f"empty stats store at {stats_dir}")
+        raise FileNotFoundError(
+            f"no stats rows for any live snapshot at {stats_dir}"
+            + (f" (orphaned: {orphaned})" if orphaned else "")
+        )
     counters = {r["token_counter"] for r in rows}
     if len(counters) > 1:
         raise ValueError(f"mixed token counters in stats store: {sorted(counters)}")
@@ -294,8 +379,6 @@ def card_from_stats(
         sk, cands, k=top_k_terms, depth=cms_depth, width=cms_width
     ).collect()
 
-    manifests = list_manifests(table_dir)
-
     def _fmt(store: dict[str, list[int]]) -> list[dict]:
         return [
             {"value": k, "n_docs": d, "n_tokens": t}
@@ -308,6 +391,7 @@ def card_from_stats(
         "mode": "incremental",
         "table": os.path.abspath(table_dir),
         "snapshots": [r["run_id"] for r in rows],
+        "orphaned_snapshots": orphaned,
         "n_docs": n_docs,
         "n_tokens": sum(r["n_tokens"] for r in rows),
         "token_counter": rows[0]["token_counter"],

@@ -127,6 +127,75 @@ def test_compaction_snapshot_skipped(spark, table, tmp_path):
     assert card_after["n_tokens"] == card_before["n_tokens"]
 
 
+def test_rollback_orphans_are_pruned_from_fold(spark, table, tmp_path):
+    """ADVICE r4 (medium): stats rows for rollback()-archived snapshots must
+    not be folded — the card would silently overcount rolled-back docs."""
+    from invoice_extraction_spark.sources.atomic import rollback
+
+    stats = str(tmp_path / "stats")
+    update_card_stats(spark, table, stats)
+    card_full = card_from_stats(spark, table, stats)
+    assert card_full["n_docs"] == 300 and card_full["orphaned_snapshots"] == []
+
+    rollback(table, "c1")
+    card = card_from_stats(spark, table, stats)
+    assert card["n_docs"] == read_table(spark, table).count()
+    assert card["n_docs"] < 300
+    assert card["orphaned_snapshots"] == ["c2"]
+    assert card["snapshots"] == ["c1"]
+    # tokens shrink too (not just the doc count)
+    assert card["n_tokens"] < card_full["n_tokens"]
+
+
+def test_bootstrap_from_compaction_base_after_vacuum(spark, table, tmp_path):
+    """ADVICE r4 (medium): a FIRST incremental run on a compacted-then-
+    vacuumed table must bootstrap from the base instead of crashing on the
+    unreadable pre-compaction deltas — and produce exact numbers."""
+    from invoice_extraction_spark.sources.atomic import compact, vacuum
+
+    compact(spark, table, target_files=2)
+    vacuum(table)
+    stats = str(tmp_path / "stats")
+    upd = update_card_stats(spark, table, stats)
+    # absorbed history marked, base carries the stats
+    assert upd["processed"][:2] == ["c1", "c2"]
+    assert upd["scanned_files"]["c1"] == 0 and upd["scanned_files"]["c2"] == 0
+    base_id = upd["processed"][2]
+    assert base_id.startswith("compact-") and upd["scanned_files"][base_id] == 2
+
+    card = card_from_stats(spark, table, stats)
+    tot, _terms = _exact(spark, table)
+    assert card["n_docs"] == tot["d"] == 300
+    assert card["n_tokens"] == tot["t"]
+    assert card["n_chars"] == tot["c"]
+    # idempotent: nothing left to do
+    upd2 = update_card_stats(spark, table, stats)
+    assert upd2["processed"] == []
+
+
+def test_partial_coverage_with_vacuumed_deltas_raises(spark, tmp_path):
+    """Mixed state — store covers c1, c2's delta got vacuumed: bootstrapping
+    from the base would double-count c1, so the update must refuse with a
+    rebuild instruction instead of guessing."""
+    from invoice_extraction_spark.sources.atomic import compact, vacuum
+
+    tbl = str(tmp_path / "tbl")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    commit_append(docs.filter("doc_id < 200"), tbl, run_id="c1", ok_predicate="doc_id >= 0")
+    stats = str(tmp_path / "stats")
+    update_card_stats(spark, tbl, stats)  # covers c1 only
+    commit_append(
+        docs.filter("doc_id >= 200 AND doc_id < 300"),
+        tbl,
+        run_id="c2",
+        ok_predicate="doc_id >= 0",
+    )
+    compact(spark, tbl, target_files=2)
+    vacuum(tbl)
+    with pytest.raises(ValueError, match="double-count"):
+        update_card_stats(spark, tbl, stats)
+
+
 def test_datacard_job_incremental_mode(spark, table, tmp_path, capsys):
     from jobs.datacard import main
 
