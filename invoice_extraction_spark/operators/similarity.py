@@ -59,8 +59,9 @@ def brute_force_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     # the zip_with/aggregate folds are interpreted per element — starve-proof
-    # the scan (no-op when the input already has enough splits)
-    df = ensure_min_parallelism(df)
+    # the scan (no-op when the input already has enough splits). light=True:
+    # a literal-query cosine is a light fold, so tiny inputs skip the shuffle
+    df = ensure_min_parallelism(df, light=True)
     out = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
@@ -104,7 +105,7 @@ def lsh_topk(
     q_bucket = "".join(
         "1" if sum(w * x for w, x in zip(p, query_vec)) >= 0 else "0" for p in planes
     )
-    bucketed = ensure_min_parallelism(df).withColumn(
+    bucketed = ensure_min_parallelism(df, light=True).withColumn(
         "_bucket", lsh_bucket_expr(F.col(vec_col), planes)
     )
     return brute_force_topk(
@@ -192,7 +193,7 @@ def ivf_topk(
     if centroids is None:
         centroids = fit_ivf_centroids(df, n_cells, seed, sample_fraction, vec_col)
     cells = ivf_probe_cells(query_vec, centroids, n_probe)
-    assigned = ensure_min_parallelism(df).withColumn(
+    assigned = ensure_min_parallelism(df, light=True).withColumn(
         "_cell", ivf_assign_expr(F.col(vec_col), centroids)
     )
     candidates = assigned.filter(F.col("_cell").isin(cells)).drop("_cell")
@@ -332,7 +333,7 @@ def pairwise_topk_per_label(
     """Centroid-nearest per label group: for each label, the k vectors most
     cosine-similar to the label centroid (embedding-cosine near-dup primitive
     done group-wise — a window top-k over a broadcast-joined centroid dim)."""
-    df = ensure_min_parallelism(df)
+    df = ensure_min_parallelism(df, light=True)
     # centroid per label: elementwise mean via posexplode + groupBy
     exploded = df.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
