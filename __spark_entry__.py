@@ -598,8 +598,10 @@ def _q_embedding_topk_pairs(spark, sf_dir):
     """Embedding-cosine near-dup candidates: top-20 highest-cosine pairs
     among vectors sharing a sign-LSH bucket (the dedup-by-embedding family;
     bucket prune before any distance math). Hot buckets above the cap are
-    excluded from the self-join — the DuckDB twin models the SAME cap, so
-    the hash check covers the capped semantics."""
+    REFINED with extra sign bits (the round-5 scale-aware default —
+    sub_bucket_planes=4; still-hot refined keys drop to the exact-dup
+    tier); the DuckDB twin models the SAME refine-then-cap pipeline, so
+    the hash check covers the adaptive semantics."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.embedding_topk_pairs(e, k=20, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP)
 
@@ -1118,13 +1120,13 @@ def _media_features_sql() -> str:
     """
 
 
-def _lsh_bucket_sql(vec_expr: str) -> str:
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 7) -> str:
     """Sign-LSH bucket as SQL, with the SAME seeded hyperplanes the Spark
     operator uses (deterministic literals -> oracle-checkable ANN)."""
     from invoice_extraction_spark.operators.similarity import _hyperplanes
 
     parts = []
-    for p in _hyperplanes(64, 4, seed=7):
+    for p in _hyperplanes(64, n_planes, seed=seed):
         lit = "[" + ",".join(repr(w) for w in p) + "]::DOUBLE[]"
         parts.append(
             f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN '1' ELSE '0' END)"
@@ -1509,13 +1511,19 @@ def oracle_sql() -> dict[str, str]:
             WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                         {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
                         FROM embeddings),
-            -- hot-bucket cap modeled to match the engine's
-            -- max_bucket_size={N_EMB_BUCKET_CAP} (exercised: sf0.01's
-            -- largest bucket exceeds the cap)
-            cold AS (SELECT bucket FROM (SELECT bucket, COUNT(*) AS n
-                                         FROM b0 GROUP BY bucket)
-                     WHERE n <= {N_EMB_BUCKET_CAP}),
-            b AS (SELECT * FROM b0 WHERE bucket IN (SELECT bucket FROM cold))
+            -- round 5: hot buckets above max_bucket_size={N_EMB_BUCKET_CAP}
+            -- are REFINED with 4 extra seed-8 sign bits (the operator's
+            -- scale-aware default; exercised: sf0.01's largest bucket
+            -- exceeds the cap), then still-hot refined keys are dropped
+            sizes AS (SELECT bucket, COUNT(*) AS n FROM b0 GROUP BY bucket),
+            b1 AS (SELECT b0.vec_id, b0.e,
+                   CASE WHEN s.n > {N_EMB_BUCKET_CAP}
+                        THEN b0.bucket || {_lsh_bucket_sql("b0.e", 4, 8)}
+                        ELSE b0.bucket END AS bucket
+                   FROM b0 JOIN sizes s USING (bucket)),
+            rsizes AS (SELECT bucket, COUNT(*) AS n FROM b1 GROUP BY bucket),
+            b AS (SELECT b1.* FROM b1 JOIN rsizes USING (bucket)
+                  WHERE rsizes.n <= {N_EMB_BUCKET_CAP})
             SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                    ROUND(list_dot_product(a.e, c.e)
                        / (sqrt(list_dot_product(a.e, a.e))

@@ -143,6 +143,64 @@ def test_embedding_hot_bucket_cap_bounds_pairs(spark):
     assert len(unc) == 1 + n_cold * (n_cold - 1) // 2  # (498,499) + cold pairs
 
 
+def test_auto_n_planes_scales_with_corpus():
+    """Scale-aware plane count (VERDICT r4 #1): floor of 4 at oracle scale
+    (frozen literals stay valid), one plane per corpus doubling, capped."""
+    from invoice_extraction_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(500) == 4          # sf0.01: frozen 4-plane oracle OK
+    assert auto_n_planes(5_000) == 7        # sf0.1
+    assert auto_n_planes(50_000) == 10      # sf1 — the saturation regime
+    assert auto_n_planes(10**12) == 24      # capped: IVF-PQ territory beyond
+    # monotone non-decreasing in corpus size
+    vals = [auto_n_planes(n) for n in (10, 10**3, 10**6, 10**9, 10**12)]
+    assert vals == sorted(vals)
+
+
+def test_default_refine_keeps_planted_pairs_in_saturated_buckets(spark):
+    """The round-5 default (sub_bucket_planes=4) must preserve near-dup
+    recall when EVERY coarse bucket saturates — the measured sf1 failure
+    mode of drop-mode. 600 diverse vectors swamp 4 coarse buckets (cap 32);
+    50 planted scaled-copy pairs must all survive refinement."""
+    import random
+
+    import pandas as pd
+
+    from invoice_extraction_spark.operators.similarity import embedding_topk_pairs
+
+    dim, n_planes = 8, 2
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(600)
+    ]
+    # planted pairs: exact scaled copies (same direction -> same sign bits
+    # on EVERY plane, coarse and refined)
+    planted = []
+    for j in range(50):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        a, b = 1000 + 2 * j, 1000 + 2 * j + 1
+        rows += [(a, base), (b, [x * 1.01 for x in base])]
+        planted.append((a, b))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    got = embedding_topk_pairs(
+        df, k=10**6, n_planes=n_planes, dim=dim, max_bucket_size=32
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    found = [p for p in planted if p in pairs]
+    recall = len(found) / len(planted)
+    assert recall == 1.0, (recall, sorted(set(planted) - set(found)))
+
+    # drop-mode control: with every coarse bucket saturated, recall collapses
+    dropped = embedding_topk_pairs(
+        df, k=10**6, n_planes=n_planes, dim=dim, max_bucket_size=32,
+        sub_bucket_planes=0,
+    )
+    pairs0 = {(r["id_a"], r["id_b"]) for r in dropped.collect()}
+    assert sum(p in pairs0 for p in planted) / len(planted) < recall
+
+
 def test_sub_bucket_refinement_splits_diverse_hot_bucket(spark):
     """sub_bucket_planes refines a hot bucket instead of dropping it: diverse
     vectors that merely shared the coarse sign bits spread across sub-buckets
@@ -176,9 +234,11 @@ def test_sub_bucket_refinement_splits_diverse_hot_bucket(spark):
     rows += [(1000, base), (1001, [x * 1.0001 for x in base])]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
 
-    # drop mode: the single hot bucket (62 > cap) is excluded -> zero pairs
+    # drop mode (sub_bucket_planes=0, the pre-round-5 default — kept for
+    # cap-modeled external oracles): the hot bucket (62 > cap) is excluded
     dropped = embedding_topk_pairs(
-        df, k=10**6, n_planes=n_planes, dim=dim, max_bucket_size=32
+        df, k=10**6, n_planes=n_planes, dim=dim, max_bucket_size=32,
+        sub_bucket_planes=0,
     ).collect()
     assert dropped == []
 
