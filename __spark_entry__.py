@@ -101,19 +101,18 @@ def _q_doc_stats_by_lang(spark, sf_dir):
     )
 
 
-def _q_token_stats_by_source(spark, sf_dir):
-    """Token counting (training-data text analysis) as pure Column exprs."""
+def _q_span_dedup_stats(spark, sf_dir):
+    """Exact-substring (span) dedup observability — Lee et al. 2022
+    family: duplicated >=20-token grams, removable occurrences, cut
+    intervals, and docs touched over the corpus. Runs the Rabin-Karp
+    fast path; the md5-based oracle hash-checks its gram-equality
+    classes end-to-end (counts agree iff the classes agree).
+    (Replaced token_stats_by_source in the 50-slot registry — its
+    parity lives on in tests/test_retired_queries.py.)"""
+    from invoice_extraction_spark.operators.span_dedup import span_dedup_stats
+
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("source", tm.token_count("text").alias("n_tokens"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
-        )
-        .orderBy("source")
-    )
+    return span_dedup_stats(d, l=20, min_count=2)
 
 
 def _q_lang_guess_counts(spark, sf_dir):
@@ -823,7 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pages": _q_extract_pages,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
-        "token_stats_by_source": _q_token_stats_by_source,
+        "span_dedup_stats": _q_span_dedup_stats,
         "lang_guess_counts": _q_lang_guess_counts,
         "quality_scores": _q_quality_scores,
         "bpe_token_estimates": _q_bpe_token_estimates,
@@ -1149,13 +1148,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SUM(n_chars) * 100.0 / COUNT(*)) AS BIGINT) AS avg_chars_x100
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        "token_stats_by_source": """
-            WITH t AS (SELECT source,
-                CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text,' ')) END AS n_tokens
-                FROM documents)
-            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   CAST(MAX(n_tokens) AS INT) AS max_tokens
-            FROM t GROUP BY source ORDER BY source
+        "span_dedup_stats": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            occ AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5(array_to_string(t[i:i+19], ' ')) AS gh
+              FROM toks, unnest(range(1, greatest(len(t) - 19, 0) + 1)) AS u(i)
+            ),
+            hot AS (
+              SELECT gh, COUNT(*) AS n_occ,
+                     MIN(printf('%015d:%015d', doc_id, pos)) AS canon
+              FROM occ GROUP BY gh HAVING COUNT(*) >= 2
+            ),
+            iv AS (
+              SELECT o.doc_id AS id FROM occ o JOIN hot h USING (gh)
+              WHERE printf('%015d:%015d', o.doc_id, o.pos) <> h.canon
+            )
+            SELECT (SELECT COUNT(*) FROM hot) AS n_hot_grams,
+                   (SELECT CAST(COALESCE(SUM(n_occ), 0) AS BIGINT) FROM hot) AS n_hot_occurrences,
+                   (SELECT COUNT(*) FROM iv) AS n_cut_intervals,
+                   (SELECT COUNT(DISTINCT id) FROM iv) AS n_docs_touched
         """,
         "lang_guess_counts": f"""
             WITH g AS (SELECT lang,

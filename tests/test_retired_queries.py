@@ -1,7 +1,8 @@
 """Operators whose driver-registry slots were given to newer ops keep
 hash-checked parity here (the registry is capped at 50 driver rows; the
-operator coverage itself must not regress): document fingerprints and
-top-N frequency."""
+operator coverage itself must not regress): document fingerprints,
+top-N frequency, and per-source token stats (slot given to
+span_dedup_stats in round 5)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -34,6 +35,31 @@ def test_fingerprints_parity(spark, con):
     )
     got = d.select("doc_id", tm.fingerprint("text").alias("fp")).orderBy("doc_id")
     assert_parity(got, con, FINGERPRINT_SQL)
+
+
+TOKEN_STATS_SQL = """
+WITH t AS (SELECT source,
+    CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text,' ')) END AS n_tokens
+    FROM documents)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) AS INT) AS max_tokens
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+def test_token_stats_by_source_parity(spark, con):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        d.select("source", tm.token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+    assert_parity(got, con, TOKEN_STATS_SQL)
 
 
 def test_top5_frequency_parity(spark, con):
