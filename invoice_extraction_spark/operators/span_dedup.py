@@ -59,12 +59,23 @@ _RK_B = 0x100000001B3
 _RK_BINV = pow(_RK_B, -1, 1 << 64)
 
 
-def _ckey(id_col, pos_col):
-    """Zero-padded 'id:pos' — lexicographic min == numeric (id, pos) min,
-    and identical in Spark and ANSI SQL (the oracle uses printf). 15
-    digits covers 10^15 ids/positions; wider ids would break the
-    padding-order equivalence silently, hence the margin."""
-    return F.format_string("%015d:%015d", F.col(id_col), F.col(pos_col))
+def _ckey(occ: DataFrame, id_col: str = "id", pos_col: str = "pos"):
+    """Canonical-occurrence key. Numeric ids: zero-padded 'id:pos', so
+    lexicographic min == numeric (id, pos) min, identical in Spark and
+    ANSI SQL (the oracle uses printf; 15 digits covers 10^15
+    ids/positions — wider ids would break the padding-order equivalence
+    silently, hence the margin). String ids (e.g. url-keyed streams,
+    where %d formatting would throw): 'id:paddedpos' — the min is a
+    deterministic canonical (lexicographic by id string, then position),
+    which is all the dedup semantics require."""
+    if isinstance(
+        occ.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        return F.format_string("%015d:%015d", F.col(id_col), F.col(pos_col))
+    return F.concat_ws(
+        ":", F.col(id_col), F.lpad(F.col(pos_col).cast("string"), 15, "0")
+    )
 
 
 def gram_occurrences(
@@ -229,7 +240,7 @@ def hot_grams(
         occ.groupBy("gh")
         .agg(
             F.count("*").alias("n_occ"),
-            F.min(_ckey("id", "pos")).alias("canon"),
+            F.min(_ckey(occ)).alias("canon"),
         )
         .filter(F.col("n_occ") >= min_count)
     )
@@ -252,7 +263,7 @@ def duplicate_span_intervals(
     hot = hot if hot is not None else hot_grams(occ, min_count)
     return (
         occ.join(hot, "gh")
-        .filter(_ckey("id", "pos") != F.col("canon"))
+        .filter(_ckey(occ) != F.col("canon"))
         .select(
             "id",
             F.col("pos").alias("start"),
@@ -353,10 +364,9 @@ def span_gram_index(
     what exact incremental span dedup fundamentally requires: a new span
     duplicates history iff its gram hash is present at all. Keep ``fast``
     consistent between an index and every probe against it."""
-    return (
-        gram_occurrences(df, text_col, id_col, l, fast)
-        .groupBy("gh")
-        .agg(F.count("*").alias("n_occ"), F.min(_ckey("id", "pos")).alias("canon"))
+    occ = gram_occurrences(df, text_col, id_col, l, fast)
+    return occ.groupBy("gh").agg(
+        F.count("*").alias("n_occ"), F.min(_ckey(occ)).alias("canon")
     )
 
 
@@ -413,7 +423,7 @@ def remove_duplicate_spans_incremental(
         new_df, text_col, id_col, l, min_count, intervals=iv
     )
     delta = occ.groupBy("gh").agg(
-        F.count("*").alias("n_occ"), F.min(_ckey("id", "pos")).alias("canon")
+        F.count("*").alias("n_occ"), F.min(_ckey(occ)).alias("canon")
     )
     return out, delta
 
