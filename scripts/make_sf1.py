@@ -18,9 +18,12 @@ Upscale = 10 striped copies with referential integrity preserved:
     literals
 
 Everything is pyarrow/pandas/numpy — no Spark, so generation can't pollute
-a concurrent benchmark. Output defaults to /tmp/sf1.
+a concurrent benchmark. Output defaults to /tmp/sf1. A copies argument
+scales further (100 -> sf10, the round-5 O(corpus)-state probe); copies
+are streamed to the parquet writer one at a time so peak memory is one
+copy regardless of the target scale.
 
-    python scripts/make_sf1.py [out_dir]
+    python scripts/make_sf1.py [out_dir] [copies]
 """
 
 from __future__ import annotations
@@ -56,17 +59,25 @@ def _read(table: str) -> pd.DataFrame:
     return pq.read_table(os.path.join(SRC, f"{table}.parquet")).to_pandas()
 
 
-def _write(df: pd.DataFrame, out_dir: str, table: str, schema: pa.Schema) -> None:
-    t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    # >=16 row groups per file: Spark assigns file SPLITS to tasks by row-
-    # group midpoint, so a single jumbo row group serializes the whole scan
-    # onto one task no matter how many byte-range splits exist (observed:
-    # a corpus-wide Arrow-kernel query ran 1-task-slow on a 1-RG sf1 file)
-    pq.write_table(
-        t,
-        os.path.join(out_dir, f"{table}.parquet"),
-        row_group_size=max(len(df) // 16, 1024),
-    )
+def _write_copies(copies_iter, n_copies, out_dir, table, schema) -> None:
+    """Stream copies to one parquet file. >=16 row groups per file: Spark
+    assigns file SPLITS to tasks by row-group midpoint, so a single jumbo
+    row group serializes the whole scan onto one task no matter how many
+    byte-range splits exist (observed: a corpus-wide Arrow-kernel query
+    ran 1-task-slow on a 1-RG sf1 file)."""
+    writer = None
+    try:
+        for df in copies_iter:
+            t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+            if writer is None:
+                rg = max(len(df) * n_copies // max(16, n_copies), 1024)
+                writer = pq.ParquetWriter(
+                    os.path.join(out_dir, f"{table}.parquet"), schema
+                )
+            writer.write_table(t, row_group_size=rg)
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 def _upscale_keys(df: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -86,7 +97,7 @@ def _shuffle_words(text: str, seed: str) -> str:
     return " ".join(words)
 
 
-def main(out_dir: str = "/tmp/sf1") -> None:
+def main(out_dir: str = "/tmp/sf1", copies: int = COPIES) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     for table in ("region", "nation"):
@@ -97,45 +108,56 @@ def main(out_dir: str = "/tmp/sf1") -> None:
     for table in ("customer", "supplier", "part", "orders", "lineitem", "events"):
         schema = pq.read_schema(os.path.join(SRC, f"{table}.parquet"))
         base = _read(table)
-        parts = [_upscale_keys(base, k) for k in range(COPIES)]
-        _write(pd.concat(parts, ignore_index=True), out_dir, table, schema)
-        print(f"{table}: {len(base)} -> {len(base) * COPIES} rows")
+        _write_copies(
+            (_upscale_keys(base, k) for k in range(copies)),
+            copies, out_dir, table, schema,
+        )
+        print(f"{table}: {len(base)} -> {len(base) * copies} rows")
 
     # documents: shuffle words per copy (k=0 stays verbatim)
     schema = pq.read_schema(os.path.join(SRC, "documents.parquet"))
     base = _read("documents")
-    parts = []
-    for k in range(COPIES):
-        c = base.copy()
-        c["doc_id"] = c["doc_id"] + k * STRIDES["doc_id"]
-        if k:
-            c["text"] = [
-                _shuffle_words(t, f"{int(d)}|{k}")
-                for d, t in zip(c["doc_id"], c["text"])
-            ]
-            c["n_chars"] = [len(t) for t in c["text"]]
-        parts.append(c)
-    _write(pd.concat(parts, ignore_index=True), out_dir, "documents", schema)
-    print(f"documents: {len(base)} -> {len(base) * COPIES} rows")
+
+    def doc_copies():
+        for k in range(copies):
+            c = base.copy()
+            c["doc_id"] = c["doc_id"] + k * STRIDES["doc_id"]
+            if k:
+                c["text"] = [
+                    _shuffle_words(t, f"{int(d)}|{k}")
+                    for d, t in zip(c["doc_id"], c["text"])
+                ]
+                c["n_chars"] = [len(t) for t in c["text"]]
+            yield c
+
+    _write_copies(doc_copies(), copies, out_dir, "documents", schema)
+    print(f"documents: {len(base)} -> {len(base) * copies} rows")
 
     # embeddings: seeded +-1% noise per copy (k=0 verbatim)
     schema = pq.read_schema(os.path.join(SRC, "embeddings.parquet"))
     base = _read("embeddings")
     dim = len(base["embedding"].iloc[0])
-    parts = []
-    for k in range(COPIES):
-        c = base.copy()
-        c["vec_id"] = c["vec_id"] + k * STRIDES["vec_id"]
-        if k:
-            rng = np.random.RandomState(k)
-            noise = rng.uniform(-0.01, 0.01, size=(len(c), dim)).astype(np.float32)
-            mat = np.stack(c["embedding"].to_numpy()) + noise
-            c["embedding"] = [row for row in mat]
-        parts.append(c)
-    _write(pd.concat(parts, ignore_index=True), out_dir, "embeddings", schema)
-    print(f"embeddings: {len(base)} -> {len(base) * COPIES} rows")
-    print(f"sf1 ready at {out_dir}")
+
+    def emb_copies():
+        for k in range(copies):
+            c = base.copy()
+            c["vec_id"] = c["vec_id"] + k * STRIDES["vec_id"]
+            if k:
+                rng = np.random.RandomState(k)
+                noise = rng.uniform(-0.01, 0.01, size=(len(c), dim)).astype(
+                    np.float32
+                )
+                mat = np.stack(c["embedding"].to_numpy()) + noise
+                c["embedding"] = [row for row in mat]
+            yield c
+
+    _write_copies(emb_copies(), copies, out_dir, "embeddings", schema)
+    print(f"embeddings: {len(base)} -> {len(base) * copies} rows")
+    print(f"scaled data ({copies} copies) ready at {out_dir}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else COPIES,
+    )
