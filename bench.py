@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "centroid_topk_per_label",
     "user_sessions",
     "doc_stats_by_lang",
+    "span_dedup_stats",
 ]
 
 CORPUS_DIR = "/tmp/bench_corpus.parquet"
