@@ -293,6 +293,148 @@ def candidate_buckets(
     return b
 
 
+def _margins_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """array<double> of signed hyperplane margins dot(v, p_i) — the sign
+    pattern IS the bucket (``lsh_bucket_expr``), the magnitudes rank how
+    close each bit was to flipping (multi-probe order)."""
+    return F.array(
+        *[dot(vec_col, F.array(*[F.lit(w) for w in p])) for p in planes]
+    )
+
+
+def candidate_memberships(
+    df: DataFrame,
+    n_planes: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    sub_bucket_planes: int = DEFAULT_SUB_BUCKET_PLANES,
+    n_probe: int = 0,
+) -> DataFrame:
+    """(id, v, bucket, is_primary) — sign-LSH bucket memberships with
+    multi-probe (Lv et al. 2007's flip-lowest-margin idea applied to the
+    self-join/pair-generation case rather than query-time probing).
+
+    ``n_probe=0`` returns exactly ``candidate_buckets`` rows with
+    ``is_primary=true``. With ``n_probe=q`` each vector ADDITIONALLY lands
+    in the q buckets obtained by flipping the sign bit whose margin
+    |dot(v, p_i)| is smallest (then 2nd-smallest, ...): a true near-dup
+    pair split by one noisy near-zero bit reconciles in the neighbor
+    bucket. Membership rows grow by exactly (1+q)x — linear, chosen, and
+    observable — while the pair join keeps one side primary-only, so
+    Hamming-2 probe-probe co-occurrences never join (fan-out stays
+    bounded by primaries-per-bucket x memberships-per-bucket).
+
+    The hot-bucket policy (refine with ``sub_bucket_planes`` extra sign
+    bits, then drop still-hot refined keys) applies to the membership
+    frame as a whole: refinement appends sign bits OF THE VECTOR, so a
+    probe membership refines consistently with the vectors it probes
+    into, and ``max_bucket_size`` caps the true join-side bucket
+    occupancy (primaries + probes).
+
+    Pair with ``auto_n_planes`` — multi-probe COMPLEMENTS an adequate
+    plane count, it cannot rescue an under-planed config: with too few
+    planes the (1+q)x membership load pushes even refined sub-buckets
+    over the cap and whole buckets drop, so recall FALLS (measured at
+    sf1: 4 planes 0.804 -> 0.705 @ q=1, while auto's 9 planes
+    0.833 -> 0.969 @ q=1 — BENCH/embedding_recall_mp_r5.json).
+    """
+    if n_probe < 0 or n_probe > n_planes:
+        raise ValueError(f"n_probe must be in [0, n_planes], got {n_probe}")
+    if n_probe == 0:
+        b = candidate_buckets(
+            df, n_planes, seed, vec_col, id_col, dim, max_bucket_size,
+            sub_bucket_planes,
+        )
+        return b.withColumn("is_primary", F.lit(True))
+    planes = _hyperplanes(dim, n_planes, seed)
+    df = ensure_min_parallelism(df)
+    m = F.col("_margins")
+    primary = F.array_join(
+        F.transform(m, lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+    # bit positions ordered by |margin| ascending (ties: lower index first
+    # — array_sort on (|m|, idx) structs compares field-by-field)
+    flip_order = F.transform(
+        F.array_sort(
+            F.zip_with(
+                F.transform(m, F.abs),
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda a, i: F.struct(a.alias("a"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _margins_expr(F.col(vec_col), planes).alias("_margins"),
+    ).select(
+        "id",
+        "v",
+        primary.alias("bucket"),
+        F.slice(flip_order, 1, n_probe).alias("_flip"),
+    )
+    # flip the 0-based bit at position i of the primary key string
+    flipped = F.transform(
+        F.col("_flip"),
+        lambda i: F.struct(
+            F.concat(
+                F.substring(F.col("bucket"), F.lit(1), i),
+                F.when(
+                    F.substring(F.col("bucket"), i + 1, F.lit(1)) == "1",
+                    F.lit("0"),
+                ).otherwise(F.lit("1")),
+                F.substring(F.col("bucket"), i + 2, F.lit(n_planes)),
+            ).alias("bucket"),
+            F.lit(False).alias("is_primary"),
+        ),
+    )
+    memberships = b.select(
+        "id",
+        "v",
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("bucket").alias("bucket"),
+                        F.lit(True).alias("is_primary"),
+                    )
+                ),
+                flipped,
+            )
+        ).alias("_mb"),
+    ).select(
+        "id",
+        "v",
+        F.col("_mb.bucket").alias("bucket"),
+        F.col("_mb.is_primary").alias("is_primary"),
+    )
+    if max_bucket_size is not None:
+        sizes = memberships.groupBy("bucket").agg(F.count("*").alias("_n"))
+        if sub_bucket_planes:
+            extra = _hyperplanes(dim, sub_bucket_planes, seed + 1)
+            hot = sizes.filter(F.col("_n") > max_bucket_size).select("bucket")
+            hot_keys = [r["bucket"] for r in hot.collect()]  # <= (1+q)*2^n_planes literals
+            memberships = memberships.withColumn(
+                "bucket",
+                F.when(
+                    F.col("bucket").isin(hot_keys) if hot_keys else F.lit(False),
+                    F.concat(F.col("bucket"), lsh_bucket_expr(F.col("v"), extra)),
+                ).otherwise(F.col("bucket")),
+            )
+            sizes2 = memberships.groupBy("bucket").agg(F.count("*").alias("_n"))
+            cold2 = sizes2.filter(F.col("_n") <= max_bucket_size).select("bucket")
+            memberships = memberships.join(F.broadcast(cold2), "bucket", "left_semi")
+        else:
+            cold = sizes.filter(F.col("_n") <= max_bucket_size).select("bucket")
+            memberships = memberships.join(F.broadcast(cold), "bucket", "left_semi")
+    return memberships
+
+
 def embedding_topk_pairs(
     df: DataFrame,
     k: int = 20,
@@ -303,6 +445,7 @@ def embedding_topk_pairs(
     dim: int = 64,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     sub_bucket_planes: int = DEFAULT_SUB_BUCKET_PLANES,
+    n_probe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (task brief's
     'embedding-cosine near-dup' dedup family): the k highest-cosine pairs
@@ -335,19 +478,48 @@ def embedding_topk_pairs(
     ``sub_bucket_planes=0`` for plain drop-mode (e.g. to match an
     external cap-modeled oracle). For plane-count scaling with corpus
     size see ``auto_n_planes``.
+
+    ``n_probe>0`` (off by default — the registered driver query and its
+    frozen DuckDB oracle use the single-bucket path) adds multi-probe
+    candidate generation via ``candidate_memberships``: pairs split by
+    one noisy low-margin sign bit reconcile in a flipped-bit bucket,
+    recovering most of the residual sign-LSH miss at (1+n_probe)x
+    membership cost. Measured at sf1 in BENCH/BASELINE.md.
     """
-    b = candidate_buckets(
+    if n_probe == 0:
+        b = candidate_buckets(
+            df, n_planes, seed, vec_col, id_col, dim, max_bucket_size,
+            sub_bucket_planes,
+        )
+        pairs = b.alias("a").join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        out = pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
+    # multi-probe: a-side primaries only (Hamming-2 probe-probe pairs never
+    # join), pair normalized to (least, greatest) then deduped — the same
+    # pair can co-occur via A-probes-into-B AND B-probes-into-A
+    mb = candidate_memberships(
         df, n_planes, seed, vec_col, id_col, dim, max_bucket_size,
-        sub_bucket_planes,
+        sub_bucket_planes, n_probe,
     )
-    pairs = b.alias("a").join(
-        b.alias("b"),
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    prim = mb.filter("is_primary")
+    pairs = prim.alias("a").join(
+        mb.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
     )
-    out = pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+    out = (
+        pairs.select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
 

@@ -100,6 +100,7 @@ def run_span_dedup_stream(
     l: int = DEFAULT_SPAN_TOKENS,
     min_count: int = 2,
     fast: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain all unseen source parquet files (Trigger.AvailableNow):
     per batch — probe the persisted gram index, cut every non-canonical
@@ -137,9 +138,13 @@ def run_span_dedup_stream(
             ok_predicate=f"{text_col} IS NOT NULL",
         )
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (a production drop-feed's unit of work);
+        # AvailableNow still drains everything, in several batches
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
+        reader.parquet(source_dir)
         .writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

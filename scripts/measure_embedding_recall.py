@@ -76,22 +76,37 @@ def main() -> None:
         "auto_planes": dict(
             n_planes=sim.auto_n_planes(n), sub_bucket_planes=4
         ),
+        "refine_probe1": dict(n_planes=4, sub_bucket_planes=4, n_probe=1),
+        "refine_probe2": dict(n_planes=4, sub_bucket_planes=4, n_probe=2),
+        "auto_probe1": dict(
+            n_planes=sim.auto_n_planes(n), sub_bucket_planes=4, n_probe=1
+        ),
     }
     out = {"sf_dir": sf_dir, "n_vectors": n, "n_truth_pairs": n_truth,
            "min_cos": MIN_COS}
     for name, cfg in configs.items():
         t0 = time.time()
-        b = sim.candidate_buckets(emb, **cfg).select("id", "bucket")
-        hit = (
-            truth.join(b.withColumnRenamed("id", "id_a"), "id_a")
-            .withColumnRenamed("bucket", "bucket_a")
-            .join(b.withColumnRenamed("id", "id_b"), "id_b")
-            .filter(F.col("bucket_a") == F.col("bucket"))
-            .count()
-        )
+        # membership frame mirrors the pair join exactly: a truth pair is
+        # recalled iff one side's PRIMARY bucket matches any membership of
+        # the other (at n_probe=0 this is the plain shared-bucket check)
+        mb = sim.candidate_memberships(emb, **cfg)
+        prim = mb.filter("is_primary").select("id", "bucket")
+        memb = mb.select("id", "bucket")
+        def _hits(side_a, side_b):
+            return (
+                truth.join(side_a.withColumnRenamed("id", "id_a"), "id_a")
+                .join(
+                    side_b.withColumnRenamed("id", "id_b")
+                    .withColumnRenamed("bucket", "bucket_b"),
+                    "id_b",
+                )
+                .filter(F.col("bucket") == F.col("bucket_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+        hit = _hits(prim, memb).union(_hits(memb, prim)).distinct().count()
         out[name] = {
-            "n_planes": cfg["n_planes"],
-            "sub_bucket_planes": cfg["sub_bucket_planes"],
+            **{k: v for k, v in cfg.items()},
             "recall": round(hit / n_truth, 4) if n_truth else None,
             "wall_s": round(time.time() - t0, 2),
         }
