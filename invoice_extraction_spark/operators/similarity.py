@@ -524,6 +524,79 @@ def embedding_topk_pairs(
     return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cos: float = 0.99,
+    n_planes: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    sub_bucket_planes: int = DEFAULT_SUB_BUCKET_PLANES,
+    n_probe: int = 0,
+) -> DataFrame:
+    """ALL candidate pairs with cosine >= ``min_cos`` — the dedup-gate form
+    of ``embedding_topk_pairs`` (threshold, not top-k: a dedup pass must see
+    every near-dup pair, not the k most similar).
+
+    Same candidate machinery (sign-LSH memberships, hot-bucket refine/drop,
+    optional multi-probe); the cosine filter applies BEFORE the pair dedup
+    so only verified near-dups shuffle. Output (id_a < id_b, cos_sim) is
+    deterministic and distinct.
+    """
+    mb = candidate_memberships(
+        df, n_planes, seed, vec_col, id_col, dim, max_bucket_size,
+        sub_bucket_planes, n_probe,
+    )
+    prim = mb.filter("is_primary")
+    pairs = prim.alias("a").join(
+        mb.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+    )
+    scored = pairs.select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= min_cos)
+    return scored.dropDuplicates(["id_a", "id_b"])
+
+
+def embedding_dedup_survivors(
+    docs: DataFrame,
+    emb: DataFrame,
+    min_cos: float = 0.99,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup REMOVAL: keep one document per connected
+    component of the verified near-dup pair graph (canonical = min id — the
+    same deterministic survivor rule as every other dedup tier).
+
+    Components rather than the greedy drop-id_b rule because embedding
+    near-dup graphs chain (A~B, B~C with A!~C is common under noise): the
+    greedy rule can drop B for A and C for B while A and C both survive as
+    'canonicals' of overlapping clusters; min-of-component keeps exactly
+    one. ``emb``'s ``vec_id`` must share the id domain with ``docs``'s
+    ``doc_id`` (the testdata tables are 1:1 by construction).
+
+    Scale shape: pairs are bucket-join bounded (see
+    ``embedding_near_dup_pairs``), components iterate on the PAIR graph
+    only (near-dups, a tiny fraction of the corpus), and the final
+    left_anti drop ships just the non-canonical id set.
+    """
+    from .components import connected_components
+
+    pairs = embedding_near_dup_pairs(emb, min_cos, id_col=vec_id_col, **lsh_kwargs)
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(doc_id_col))
+    )
+    return docs.join(drop, doc_id_col, "left_anti")
+
+
 def embedding_bucket_stats(
     df: DataFrame,
     n_planes: int = 4,

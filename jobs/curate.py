@@ -59,6 +59,28 @@ def main(argv=None):
     ap.add_argument("--near-dedup", action="store_true", help="MinHash/LSH + jaccard verify")
     ap.add_argument("--jaccard", type=float, default=0.7)
     ap.add_argument(
+        "--embedding-dedup",
+        type=float,
+        default=None,
+        metavar="MIN_COS",
+        help="embedding-cosine near-dup removal at this threshold (needs "
+        "--embeddings; connected components, one survivor per cluster)",
+    )
+    ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings parquet (vec_id, embedding array) sharing the id "
+        "domain with --id-col",
+    )
+    ap.add_argument(
+        "--embedding-probes",
+        type=int,
+        default=1,
+        metavar="Q",
+        help="multi-probe bit flips for the embedding-dedup candidate pass "
+        "(0 = single-bucket)",
+    )
+    ap.add_argument(
         "--line-dedup",
         type=int,
         default=None,
@@ -165,6 +187,31 @@ def main(argv=None):
         df = record(
             "near_dedup",
             dedup_near(df, text_col=text_col, id_col=id_col, threshold=args.jaccard),
+        )
+    if args.embedding_dedup is not None:
+        if not args.embeddings:
+            ap.error("--embedding-dedup requires --embeddings")
+        from invoice_extraction_spark.operators.similarity import (
+            auto_n_planes,
+            embedding_dedup_survivors,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        n_vec = emb.count()
+        dim = len(emb.select("embedding").first()["embedding"])
+        df = record(
+            "embedding_dedup",
+            embedding_dedup_survivors(
+                df,
+                emb,
+                min_cos=args.embedding_dedup,
+                doc_id_col=id_col,
+                # scale-aware defaults: planes from corpus size, probe-1
+                # multi-probe (the measured sf1 recipe — BENCH/BASELINE.md)
+                n_planes=auto_n_planes(n_vec),
+                dim=dim,
+                n_probe=args.embedding_probes,
+            ),
         )
     if args.line_dedup:
         from invoice_extraction_spark.operators.line_dedup import dedup_lines
