@@ -565,14 +565,6 @@ def _q_asof_prev_purchase(spark, sf_dir):
     )
 
 
-def _q_lsh_topk_bucket(spark, sf_dir):
-    """ANN scale path: sign-LSH bucket probe (4 seeded hyperplanes) then
-    exact cosine within the bucket — top-5 for the vec_id=0 query."""
-    e = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.lsh_topk(e, qv, k=5, n_planes=4)
-
-
 def _q_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: FROZEN k-means coarse quantizer (literal
     centroids, trained once on a seeded 25% sample — see
@@ -603,6 +595,21 @@ def _q_embedding_topk_pairs(spark, sf_dir):
     the hash check covers the adaptive semantics."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.embedding_topk_pairs(e, k=20, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP)
+
+
+def _q_embedding_near_dup_pairs(spark, sf_dir):
+    """The dedup-GATE form of the embedding family (round 5): ALL pairs
+    with cosine >= 0.35 among bucket-sharing vectors (threshold, not
+    top-k — a dedup pass must see every near-dup pair). Same refine-then-
+    cap candidate machinery as embedding_topk_pairs; the threshold is
+    calibrated so the sf0.01 corpus yields a non-trivial pair set
+    (max all-pair cosine there is ~0.5). Survivor selection on top of
+    these pairs (connected components, min-id canonical) is
+    curate --embedding-dedup, tested in test_embedding_dedup."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(
+        e, min_cos=0.35, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP
+    ).orderBy("id_a", "id_b")
 
 
 def _q_embedding_bucket_stats(spark, sf_dir):
@@ -852,7 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_cube": _q_lang_source_cube,
         "argmax_event_user": _q_argmax_event_user,
         "asof_prev_purchase": _q_asof_prev_purchase,
-        "lsh_topk_bucket": _q_lsh_topk_bucket,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "ivf_topk": _q_ivf_topk,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_bucket_stats": _q_embedding_bucket_stats,
@@ -1131,6 +1138,25 @@ def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 7) -> str:
             f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN '1' ELSE '0' END)"
         )
     return " || ".join(parts)
+
+
+def _emb_candidates_cte(cap: int) -> str:
+    """Shared candidate-generation CTE chain for the embedding pair
+    oracles: sign-LSH bucket -> refine hot buckets with 4 extra seed-8
+    sign bits (the operator's scale-aware default) -> drop still-hot
+    refined keys. Ends with table ``b(vec_id, e, bucket)``."""
+    return f"""b0 AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                        {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+                        FROM embeddings),
+            sizes AS (SELECT bucket, COUNT(*) AS n FROM b0 GROUP BY bucket),
+            b1 AS (SELECT b0.vec_id, b0.e,
+                   CASE WHEN s.n > {cap}
+                        THEN b0.bucket || {_lsh_bucket_sql("b0.e", 4, 8)}
+                        ELSE b0.bucket END AS bucket
+                   FROM b0 JOIN sizes s USING (bucket)),
+            rsizes AS (SELECT bucket, COUNT(*) AS n FROM b1 GROUP BY bucket),
+            b AS (SELECT b1.* FROM b1 JOIN rsizes USING (bucket)
+                  WHERE rsizes.n <= {cap})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1483,19 +1509,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ROUND(prev, 2) AS prev_purchase
             FROM w WHERE event_type = 'click' ORDER BY event_id
         """,
-        "lsh_topk_bucket": f"""
-            WITH b AS (SELECT vec_id, embedding,
-                       {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
-                       FROM embeddings),
-            qr AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket
-                   FROM b WHERE vec_id = 0)
-            SELECT vec_id,
-                   ROUND(list_dot_product(embedding::DOUBLE[], qv)
-                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
-            FROM b, qr WHERE b.bucket = qr.qbucket
-            ORDER BY cos_sim DESC, vec_id LIMIT 5
-        """,
         "ivf_topk": _ivf_topk_sql(),
         "media_stats": """
             SELECT media_type, codec, CAST(n AS BIGINT) AS n
@@ -1520,28 +1533,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes
         """,
         "embedding_topk_pairs": f"""
-            WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                        {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
-                        FROM embeddings),
-            -- round 5: hot buckets above max_bucket_size={N_EMB_BUCKET_CAP}
-            -- are REFINED with 4 extra seed-8 sign bits (the operator's
-            -- scale-aware default; exercised: sf0.01's largest bucket
-            -- exceeds the cap), then still-hot refined keys are dropped
-            sizes AS (SELECT bucket, COUNT(*) AS n FROM b0 GROUP BY bucket),
-            b1 AS (SELECT b0.vec_id, b0.e,
-                   CASE WHEN s.n > {N_EMB_BUCKET_CAP}
-                        THEN b0.bucket || {_lsh_bucket_sql("b0.e", 4, 8)}
-                        ELSE b0.bucket END AS bucket
-                   FROM b0 JOIN sizes s USING (bucket)),
-            rsizes AS (SELECT bucket, COUNT(*) AS n FROM b1 GROUP BY bucket),
-            b AS (SELECT b1.* FROM b1 JOIN rsizes USING (bucket)
-                  WHERE rsizes.n <= {N_EMB_BUCKET_CAP})
+            WITH {_emb_candidates_cte(N_EMB_BUCKET_CAP)}
             SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                    ROUND(list_dot_product(a.e, c.e)
                        / (sqrt(list_dot_product(a.e, a.e))
                         * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+        """,
+        "embedding_near_dup_pairs": f"""
+            WITH {_emb_candidates_cte(N_EMB_BUCKET_CAP)}
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                       ROUND(list_dot_product(a.e, c.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+                FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+            WHERE cos_sim >= 0.35 ORDER BY id_a, id_b
         """,
         "embedding_bucket_stats": f"""
             WITH b AS (SELECT vec_id,

@@ -71,3 +71,32 @@ def test_top5_frequency_parity(spark, con):
         .limit(5)
     )
     assert_parity(got, con, TOP5_SQL)
+
+
+LSH_TOPK_SQL_TMPL = """
+WITH b AS (SELECT vec_id, embedding,
+           {bucket} AS bucket
+           FROM embeddings),
+qr AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket
+       FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM b, qr WHERE b.bucket = qr.qbucket
+ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+
+def test_lsh_topk_bucket_parity(spark, con):
+    """Slot given to embedding_near_dup_pairs in round 5; the sign-LSH
+    bucket-probe top-k keeps its DuckDB hash parity here."""
+    from invoice_extraction_spark.operators import similarity as sim
+    from __spark_entry__ import _lsh_bucket_sql
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = sim.lsh_topk(e, qv, k=5, n_planes=4)
+    assert_parity(
+        got, con, LSH_TOPK_SQL_TMPL.format(bucket=_lsh_bucket_sql("embedding::DOUBLE[]"))
+    )
