@@ -27,7 +27,11 @@ pass exists because no state can be lost between the two writes.
 Scale shape: the per-batch partitions grow O(batches); the fold is one
 hash aggregation over hash-width rows (8-byte keys on the fast path).
 ``compact_span_index`` folds them back to a single partition with a
-marker-protected directory swap for long-running streams.
+marker-protected directory swap for long-running streams; pass
+``compact_every`` to run it automatically whenever the live partition
+count reaches that many (the cadence fires AFTER the batch's commit, so
+a crash mid-compaction is healed by the standard recovery rule and a
+replayed batch can never observe a half-compacted index).
 """
 
 from __future__ import annotations
@@ -43,6 +47,12 @@ from ..operators.span_dedup import (
     remove_duplicate_spans_incremental,
 )
 from ..sources.atomic import commit_append, list_manifests
+
+
+def _n_seq_partitions(index_dir: str) -> int:
+    if not os.path.isdir(index_dir):
+        return 0
+    return sum(1 for d in os.listdir(index_dir) if d.startswith("seq="))
 
 
 def _index_files(index_dir: str) -> bool:
@@ -101,13 +111,20 @@ def run_span_dedup_stream(
     min_count: int = 2,
     fast: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """Drain all unseen source parquet files (Trigger.AvailableNow):
     per batch — probe the persisted gram index, cut every non-canonical
     occurrence of a duplicated span (cross-batch: history always wins;
     within-batch: batch-canonical survives), write the idempotent index
     delta partition, commit the rewritten survivors atomically. Keep
-    ``fast`` (the hash domain) constant for the life of an index."""
+    ``fast`` (the hash domain) constant for the life of an index.
+
+    ``compact_every``: cadence policy for a long-running stream — fold
+    the per-batch index partitions back to one whenever the live
+    partition count reaches this many (None = compact manually). The
+    fold runs after the batch's manifest commit, so it never races a
+    replay, and an interrupted fold is healed on the next load."""
     from pyspark.sql import types as T
 
     schema = schema or T.StructType(
@@ -137,6 +154,8 @@ def run_span_dedup_stream(
             run_id=run_id,
             ok_predicate=f"{text_col} IS NOT NULL",
         )
+        if compact_every is not None and _n_seq_partitions(index_dir) >= compact_every:
+            compact_span_index(sp, index_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

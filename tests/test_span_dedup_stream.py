@@ -145,6 +145,46 @@ def test_compaction_preserves_fold_and_future_batches(spark, tmp_path):
     assert _texts(spark, tbl)["u9"] == "y1 y2"
 
 
+def test_compaction_cadence_policy(spark, tmp_path):
+    """compact_every=2 with one-file micro-batches: the index is folded
+    back to a single partition as the stream runs (never more than 2
+    live), every batch still dedups against the FULL folded history, and
+    the end-state index equals the one-shot fold over the whole corpus."""
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    extra = ("u9", f"y1 {SHARED} y2")
+    files = [[B0[0]], [B0[1]], [B1[0]], [B1[1], extra]]
+    for rows in files:
+        _write_batch(spark, src, rows)
+    run_span_dedup_stream(
+        spark, src, tbl, idx, ckpt, l=L, max_files_per_trigger=1, compact_every=2
+    )
+
+    from invoice_extraction_spark.streaming.span_dedup_stream import (
+        _n_seq_partitions,
+    )
+
+    assert _n_seq_partitions(idx) == 1  # cadence kept folding
+    t = _texts(spark, tbl)
+    assert t["u0"] == f"one two {SHARED} seven eight"  # canonical verbatim
+    assert t["u1"] == "nine ten eleven"  # cut vs batch-0 history
+    assert t["u3"] == "x1 x2"  # cut vs folded (compacted) history
+    assert t["u9"] == "y1 y2"  # cut vs history folded mid-stream
+    assert t["u4"] == B1[1][1]
+
+    orig = spark.createDataFrame(
+        pd.DataFrame([r for rows in files for r in rows], columns=["url", "text"])
+    )
+    want = {
+        r["gh"]: (r["n_occ"], r["canon"])
+        for r in span_gram_index(orig, id_col="url", l=L).collect()
+    }
+    got = {
+        r["gh"]: (r["n_occ"], r["canon"])
+        for r in load_span_index(spark, idx).collect()
+    }
+    assert got == want
+
+
 def test_interrupted_compaction_recovers(spark, tmp_path):
     """Die between the two directory renames: the live dir is gone and the
     complete consolidated tmp remains — the next load (or stream start)
