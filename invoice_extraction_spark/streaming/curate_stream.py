@@ -1,0 +1,224 @@
+"""Incremental curation stream — the batch ``jobs/curate.py`` gate chain
+as a daily-drop Structured Streaming job, composing the per-family
+incremental dedup machinery behind ONE atomic commit per batch.
+
+Per micro-batch of new documents:
+
+1. stateless gates first (map-only, no cross-batch state): optional text
+   repair, quality-score floor, Gopher repetition gate — junk never
+   reaches a shuffle or an index;
+2. exact dedup — within-batch ``dedup_exact``, then an anti-join of the
+   batch's text fingerprints against the persisted fingerprint index of
+   every previously committed document;
+3. near dedup (optional) — within-batch ``dedup_near``, then
+   ``dedup_incremental`` against the persisted LSH band index;
+4. span dedup (optional) — ``remove_duplicate_spans_incremental`` against
+   the persisted span-gram index: non-canonical repeated >= L-token spans
+   are CUT (text rewritten), history always winning;
+5. the survivors commit as one atomic snapshot, and each enabled index
+   gains the batch's delta partition.
+
+Historical TEXT is never re-read by any tier: exact probes fingerprints,
+near probes band hashes, span probes gram hashes — each O(drop + index).
+
+Exactly-once via the shared seq-partitioned index protocol
+(``seq_index.py``): ALL enabled index deltas are written BEFORE the
+manifest commit, each an idempotent overwrite keyed by batch id, and every
+probe folds only ``seq < batch_id`` — so a replayed batch can never see
+its own deltas (its own fingerprints would anti-join the whole batch away;
+its own grams would cut canonical occurrences). Die anywhere between the
+first delta write and the commit: the replay regenerates byte-equal deltas
+and the commit lands. Die after the commit: the replay is a no-op. The
+multi-index generalization holds because deltas are per-batch-idempotent
+INDIVIDUALLY — there is no cross-index ordering to get wrong.
+
+Index contents are exactly the COMMITTED corpus: gates run before the
+dedup tiers (unlike the batch job, which orders dedup first — for a
+stream the gates are stateless map-only work, and a gated-out document
+must not occupy index rows for a corpus it never joined). Fingerprints
+and band rows key on the AS-INGESTED text (a future copy of the same raw
+page arrives raw), while the committed table holds the span-rewritten
+text.
+
+Batch-only concerns stay in ``jobs/curate.py``: the LM perplexity gate
+(needs a corpus-wide fit), mixture sampling, and sequence packing are
+whole-corpus decisions a drop-feed cannot make incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_metrics import (
+    quality_score,
+    repetition_keep_fast,
+    repetition_stats_fast,
+)
+from ..operators.dedup import band_index, dedup_exact, dedup_incremental, dedup_near
+from ..operators.span_dedup import (
+    DEFAULT_SPAN_TOKENS,
+    remove_duplicate_spans_incremental,
+)
+from ..sources.atomic import commit_append, list_manifests
+from .seq_index import compact_rows, load_rows, n_seq_partitions
+from .span_dedup_stream import (
+    _empty_index,
+    compact_span_index,
+    load_span_index,
+)
+
+
+def index_dirs(index_root: str) -> dict[str, str]:
+    """The per-family index directories under one root (each its own
+    seq-partitioned directory with the shared protocol)."""
+    return {
+        "exact": f"{index_root}/exact",
+        "bands": f"{index_root}/bands",
+        "grams": f"{index_root}/grams",
+    }
+
+
+def run_curate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    schema=None,
+    text_col: str = "text",
+    id_col: str = "url",
+    fix_text: bool = False,
+    min_quality: float | None = None,
+    repetition_gate: bool = False,
+    exact: bool = True,
+    near: bool = False,
+    jaccard: float = 0.7,
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+    span_l: int | None = None,
+    span_min_count: int = 2,
+    span_fast: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+) -> None:
+    """Drain all unseen source parquet files (Trigger.AvailableNow) through
+    the incremental curation chain (module docstring). Keep the tier
+    config (``num_bands``/``rows_per_band``/``span_l``/``span_fast``)
+    constant for the life of an index root.
+
+    ``compact_every``: fold each enabled index's per-batch partitions back
+    to one whenever its live partition count reaches this many (after the
+    batch's commit, so it never races a replay)."""
+    from pyspark.sql import types as T
+
+    schema = schema or T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), False),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    dirs = index_dirs(index_root)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        run_id = f"curate-{batch_id}"
+        if any(m["run_id"] == run_id for m in list_manifests(table_dir)):
+            return  # replay of a fully-landed batch: deltas already on disk
+        sp = batch_df.sparkSession
+        batch = batch_df
+        # 1) stateless gates — map-only, cheapest first
+        if fix_text:
+            from ..functions.textfix import clean_text
+
+            batch = batch.withColumn(text_col, clean_text(F.col(text_col)))
+        if min_quality is not None:
+            batch = batch.filter(quality_score(F.col(text_col)) >= min_quality)
+        if repetition_gate:
+            batch = batch.filter(
+                repetition_keep_fast(repetition_stats_fast(F.col(text_col)))
+            )
+        # 2) exact tier: within-batch, then vs the fingerprint index
+        if exact:
+            batch = dedup_exact(batch, text_col=text_col, id_col=id_col)
+            batch = batch.withColumn("_cs_fp", F.md5(F.col(text_col)))
+            fp_idx = load_rows(sp, dirs["exact"], before_seq=batch_id)
+            if fp_idx is not None:
+                batch = batch.join(
+                    fp_idx.withColumnRenamed("fp", "_cs_fp"),
+                    "_cs_fp",
+                    "left_anti",
+                )
+        # 3) near tier: within-batch, then vs the band index
+        if near:
+            batch = dedup_near(
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=jaccard,
+                num_bands=num_bands,
+                rows_per_band=rows_per_band,
+            )
+            band_idx = load_rows(sp, dirs["bands"], before_seq=batch_id)
+            if band_idx is not None:
+                batch = dedup_incremental(
+                    batch, band_idx, text_col, id_col, num_bands, rows_per_band
+                )
+        # 4) span tier: cut repeated spans vs the gram index (rewrites text;
+        # fingerprints/bands above keyed on the as-ingested text)
+        if span_l is not None:
+            gram_idx = load_span_index(sp, dirs["grams"], before_seq=batch_id)
+            if gram_idx is None:
+                gram_idx = _empty_index(sp, span_fast)
+            out, gram_delta = remove_duplicate_spans_incremental(
+                batch,
+                gram_idx,
+                text_col,
+                id_col,
+                span_l,
+                span_min_count,
+                span_fast,
+            )
+        else:
+            out, gram_delta = batch, None
+        # 5) deltas FIRST (module docstring), each idempotent per batch id,
+        # then the atomic commit — the batch's single completion marker
+        if exact:
+            out.select(F.col("_cs_fp").alias("fp")).write.mode(
+                "overwrite"
+            ).parquet(f"{dirs['exact']}/seq={batch_id}")
+        if near:
+            # bands from `batch`, not `out`: signatures key on the
+            # as-ingested text (span rewrite happens after this tier, and
+            # future copies of the same raw page arrive raw); span dedup
+            # drops no docs, so the row sets are identical
+            band_index(
+                batch, text_col, id_col, num_bands, rows_per_band
+            ).write.mode("overwrite").parquet(f"{dirs['bands']}/seq={batch_id}")
+        if gram_delta is not None:
+            gram_delta.write.mode("overwrite").parquet(
+                f"{dirs['grams']}/seq={batch_id}"
+            )
+        commit_append(
+            out.drop("_cs_fp"),
+            table_dir,
+            run_id=run_id,
+            ok_predicate=f"{text_col} IS NOT NULL AND length({text_col}) > 0",
+        )
+        if compact_every is not None:
+            for d in (dirs["exact"], dirs["bands"]):
+                if n_seq_partitions(d) >= compact_every:
+                    compact_rows(sp, d)
+            if n_seq_partitions(dirs["grams"]) >= compact_every:
+                compact_span_index(sp, dirs["grams"])
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

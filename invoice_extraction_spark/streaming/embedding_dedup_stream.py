@@ -59,14 +59,12 @@ from ..operators.similarity import (
     cosine,
 )
 from ..sources.atomic import commit_append, list_manifests
-from .span_dedup_stream import (  # shared seq=<batch>/ directory protocol
-    _index_files,
-    _n_seq_partitions,
-    _recover_compaction,
+from .seq_index import (  # shared seq=<batch>/ directory protocol
+    compact_rows,
+    index_files as _index_files,
+    n_seq_partitions as _n_seq_partitions,
+    recover_compaction as _recover_compaction,
 )
-
-import os
-import shutil
 
 
 def load_membership_index(
@@ -246,24 +244,8 @@ def run_embedding_dedup_stream(
 
 def compact_membership_index(spark: SparkSession, index_dir: str) -> int:
     """Rewrite every per-batch partition into a single one tagged with the
-    max seq (rows unchanged — memberships union, they don't fold), using
-    the span stream's marker-protected directory-swap protocol; an
-    interrupted swap is healed by the next ``load_membership_index``.
+    max seq (rows unchanged — memberships union, they don't fold), via the
+    shared marker-protected directory swap (``seq_index.compact_rows``);
+    an interrupted swap is healed by the next ``load_membership_index``.
     Returns the number of partitions consolidated."""
-    _recover_compaction(index_dir)
-    if not _index_files(index_dir):
-        return 0
-    df = spark.read.option("basePath", index_dir).parquet(index_dir)
-    seqs = [r["seq"] for r in df.select("seq").distinct().collect()]
-    if len(seqs) <= 1:
-        return len(seqs)
-    rows = df.select("id", "v", "bucket", "is_primary")
-    tmp = index_dir + ".compact.tmp"
-    old = index_dir + ".compact.old"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    rows.write.mode("overwrite").parquet(f"{tmp}/seq={max(seqs)}")
-    os.rename(index_dir, old)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(old)
-    return len(seqs)
+    return compact_rows(spark, index_dir)

@@ -48,29 +48,12 @@ from ..operators.span_dedup import (
 )
 from ..sources.atomic import commit_append, list_manifests
 
-
-def _n_seq_partitions(index_dir: str) -> int:
-    if not os.path.isdir(index_dir):
-        return 0
-    return sum(1 for d in os.listdir(index_dir) if d.startswith("seq="))
-
-
-def _index_files(index_dir: str) -> bool:
-    return os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(index_dir) for f in fs
-    )
-
-
-def _recover_compaction(index_dir: str) -> None:
-    """Finish a compaction interrupted between the two directory renames:
-    the consolidated tmp dir is complete by construction once the live dir
-    has been moved aside, so promoting it is always safe."""
-    tmp = index_dir + ".compact.tmp"
-    if not os.path.isdir(index_dir) and os.path.isdir(tmp):
-        os.rename(tmp, index_dir)
-    old = index_dir + ".compact.old"
-    if os.path.isdir(index_dir) and os.path.isdir(old):
-        shutil.rmtree(old)
+# directory protocol shared with every seq-partitioned streaming index
+# (seq_index.py); this module keeps its FOLD-semantics load/compaction on
+# top (gram counts sum, earliest canonical wins — not a row union)
+from .seq_index import index_files as _index_files
+from .seq_index import n_seq_partitions as _n_seq_partitions
+from .seq_index import recover_compaction as _recover_compaction
 
 
 def load_span_index(

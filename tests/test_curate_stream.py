@@ -1,0 +1,197 @@
+"""Incremental curation stream (streaming/curate_stream.py): stateless
+gates drop junk before any index work, each dedup tier probes its
+persisted seq-partitioned index (exact fingerprints, LSH bands, span
+grams) with history winning, all deltas are written before the atomic
+commit so a replay is a no-op, an orphan delta from a crashed attempt
+never poisons its own batch, and the compaction cadence folds every
+enabled index."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_extraction_spark.sources.atomic import read_table
+from invoice_extraction_spark.streaming.curate_stream import (
+    index_dirs,
+    run_curate_stream,
+)
+from invoice_extraction_spark.streaming.seq_index import load_rows, n_seq_partitions
+
+GOOD = (
+    "the quick brown fox and the lazy dog went to the market in the "
+    "morning to buy some fresh fruit and vegetables for the week ahead"
+)
+NEAR = GOOD.replace("week", "month")  # one-word edit: high jaccard
+JUNK = "!!! ??? !!!"  # fails the quality floor
+REPEAT = " ".join(["spam"] * 60)  # fails the Gopher repetition gate
+SHARED = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 3 4-grams
+SP1 = f"one two {SHARED} seven eight"
+# long unique flanks keep whole-text jaccard vs SP1 low, so the near tier
+# never confuses the span-dedup cases
+SP2 = (
+    "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 "
+    + SHARED
+    + " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+)
+FRESH = "completely unrelated words about satellites orbiting the planet"
+
+L = 4
+
+
+def _write_batch(spark, src, rows):
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"])
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def _dirs(tmp_path):
+    return (
+        str(tmp_path / "src"),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def _run(spark, dirs, **kw):
+    src, tbl, idx, ckpt = dirs
+    run_curate_stream(spark, src, tbl, idx, ckpt, **kw)
+
+
+def _texts(spark, tbl):
+    return {r["url"]: r["text"] for r in read_table(spark, tbl).collect()}
+
+
+def test_gates_and_exact_cross_batch(spark, tmp_path):
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    _write_batch(
+        spark, src,
+        [("g1", GOOD), ("junk", JUNK), ("rep", REPEAT), ("g1b", GOOD)],
+    )
+    _run(spark, dirs, min_quality=0.05, repetition_gate=True)
+    t = _texts(spark, tbl)
+    # gates dropped junk/rep; within-batch exact dedup kept min id
+    assert set(t) == {"g1"}
+    # the fingerprint index holds exactly the committed doc
+    fp = load_rows(spark, index_dirs(idx)["exact"])
+    assert fp.count() == 1
+
+    _write_batch(spark, src, [("z9", GOOD), ("f1", FRESH)])
+    _run(spark, dirs, min_quality=0.05, repetition_gate=True)
+    t = _texts(spark, tbl)
+    # z9 duplicates committed history byte-for-byte -> dropped
+    assert set(t) == {"g1", "f1"}
+
+
+def test_near_cross_batch(spark, tmp_path):
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    _write_batch(spark, src, [("g1", GOOD)])
+    _run(spark, dirs, near=True)
+    _write_batch(spark, src, [("n1", NEAR), ("f1", FRESH)])
+    _run(spark, dirs, near=True)
+    t = _texts(spark, tbl)
+    # n1 is a one-word edit of committed g1: band collision -> dropped;
+    # FRESH shares no shingles -> survives
+    assert set(t) == {"g1", "f1"}
+    bands = load_rows(spark, index_dirs(idx)["bands"])
+    assert {r["id"] for r in bands.select("id").distinct().collect()} == {
+        "g1", "f1",
+    }
+
+
+def test_span_cross_batch_history_wins(spark, tmp_path):
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    _write_batch(spark, src, [("sp1", SP1)])
+    _run(spark, dirs, span_l=L)
+    _write_batch(spark, src, [("sp2", SP2)])
+    _run(spark, dirs, span_l=L)
+    t = _texts(spark, tbl)
+    assert t["sp1"] == SP1  # canonical holder untouched
+    # sp2's repeated span cut, flanks intact
+    assert t["sp2"] == SP2.replace(" " + SHARED + " ", " ")
+    assert "n_tokens_removed" in read_table(spark, tbl).columns
+
+
+def test_full_chain_and_replay_idempotent(spark, tmp_path):
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    kw = dict(min_quality=0.05, repetition_gate=True, near=True, span_l=L)
+    _write_batch(
+        spark, src, [("g1", GOOD), ("junk", JUNK), ("sp1", SP1)]
+    )
+    _run(spark, dirs, **kw)
+    _write_batch(
+        spark, src,
+        [("z9", GOOD), ("n1", NEAR), ("sp2", SP2), ("f1", FRESH)],
+    )
+    _run(spark, dirs, **kw)
+    t = _texts(spark, tbl)
+    assert set(t) == {"g1", "sp1", "sp2", "f1"}
+    assert t["sp2"] == SP2.replace(" " + SHARED + " ", " ")
+
+    # replay with the same checkpoint: table and every index unchanged
+    d = index_dirs(idx)
+    before = {
+        k: load_rows(spark, d[k]).count() for k in ("exact", "bands")
+    }
+    _run(spark, dirs, **kw)
+    assert _texts(spark, tbl) == t
+    after = {
+        k: load_rows(spark, d[k]).count() for k in ("exact", "bands")
+    }
+    assert after == before
+    # fingerprints cover exactly the four committed docs
+    assert before["exact"] == 4
+
+
+def test_orphan_deltas_do_not_poison_replay(spark, tmp_path):
+    """Crash between the delta writes and the commit: the replayed batch
+    must not anti-join against its own fingerprints (which would drop the
+    whole batch) nor cut spans against its own grams."""
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    kw = dict(span_l=L)
+    _write_batch(spark, src, [("g1", GOOD)])
+    _run(spark, dirs, **kw)
+
+    _write_batch(spark, src, [("f1", FRESH), ("sp1", SP1)])
+    d = index_dirs(idx)
+    # hand-plant the deltas a dead prior attempt would have left
+    spark.createDataFrame(
+        [(r,) for r in
+         [spark.createDataFrame([(FRESH,)], "t string")
+          .select(F.md5("t")).first()[0],
+          spark.createDataFrame([(SP1,)], "t string")
+          .select(F.md5("t")).first()[0]]],
+        "fp string",
+    ).write.mode("overwrite").parquet(f"{d['exact']}/seq=1")
+    from invoice_extraction_spark.operators.span_dedup import span_gram_index
+
+    b1 = spark.createDataFrame(
+        pd.DataFrame([("f1", FRESH), ("sp1", SP1)], columns=["url", "text"])
+    )
+    span_gram_index(b1, id_col="url", l=L).write.mode("overwrite").parquet(
+        f"{d['grams']}/seq=1"
+    )
+
+    _run(spark, dirs, **kw)
+    t = _texts(spark, tbl)
+    # both batch docs exist ONLY in the orphans — they must land verbatim
+    assert t["f1"] == FRESH
+    assert t["sp1"] == SP1
+
+
+def test_compaction_cadence_all_indexes(spark, tmp_path):
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    kw = dict(near=True, span_l=L, max_files_per_trigger=1, compact_every=2)
+    for rows in ([("g1", GOOD)], [("sp1", SP1)], [("f1", FRESH)],
+                 [("z9", GOOD), ("sp2", SP2)]):
+        _write_batch(spark, src, rows)
+    _run(spark, dirs, **kw)
+    d = index_dirs(idx)
+    for k in ("exact", "bands", "grams"):
+        assert n_seq_partitions(d[k]) == 1, k
+    t = _texts(spark, tbl)
+    # dedup still correct against mid-stream-compacted history
+    assert set(t) == {"g1", "sp1", "f1", "sp2"}
+    assert t["sp2"] == SP2.replace(" " + SHARED + " ", " ")
