@@ -601,14 +601,21 @@ def _q_embedding_near_dup_pairs(spark, sf_dir):
     """The dedup-GATE form of the embedding family (round 5): ALL pairs
     with cosine >= 0.35 among bucket-sharing vectors (threshold, not
     top-k — a dedup pass must see every near-dup pair). Same refine-then-
-    cap candidate machinery as embedding_topk_pairs; the threshold is
-    calibrated so the sf0.01 corpus yields a non-trivial pair set
-    (max all-pair cosine there is ~0.5). Survivor selection on top of
-    these pairs (connected components, min-id canonical) is
-    curate --embedding-dedup, tested in test_embedding_dedup."""
+    cap candidate machinery as embedding_topk_pairs PLUS multi-probe
+    (n_probe=1 — the production recipe curate --embedding-dedup defaults
+    to): each vector also lands in the bucket with its lowest-|margin|
+    sign bit flipped, and the pair join keeps one side primary-only. The
+    DuckDB twin models the full membership pipeline (probe expansion,
+    refine, post-refine cap), so the driver hash check covers the
+    multi-probe semantics — late round 5; previously only the in-suite
+    recall tests exercised n_probe. The threshold is calibrated so the
+    sf0.01 corpus yields a non-trivial pair set (max all-pair cosine
+    there is ~0.5). Survivor selection on top of these pairs (connected
+    components, min-id canonical) is curate --embedding-dedup, tested in
+    test_embedding_dedup."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.embedding_near_dup_pairs(
-        e, min_cos=0.35, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP
+        e, min_cos=0.35, n_planes=4, max_bucket_size=N_EMB_BUCKET_CAP, n_probe=1
     ).orderBy("id_a", "id_b")
 
 
@@ -1159,6 +1166,57 @@ def _emb_candidates_cte(cap: int) -> str:
                   WHERE rsizes.n <= {cap})"""
 
 
+def _emb_mp_candidates_cte(cap: int) -> str:
+    """Multi-probe (n_probe=1) membership CTE chain mirroring
+    ``similarity.candidate_memberships``: per vector, the primary sign-LSH
+    bucket plus the bucket with its lowest-|margin| bit flipped (ties:
+    lower index — the <= chain below is exactly Spark's array_sort on
+    (|margin|, index) structs), then the refine-then-cap hot-bucket
+    policy over the COMBINED membership frame (sizes count primaries +
+    probes; hot memberships refine with 4 seed-8 sign bits OF THE VECTOR;
+    still-hot refined keys drop). Ends with tables
+    ``mbf(vec_id, e, bucket, is_primary)`` and ``prim`` (primary rows)."""
+    from invoice_extraction_spark.operators.similarity import _hyperplanes
+
+    lits = [
+        "[" + ",".join(repr(w) for w in p) + "]::DOUBLE[]"
+        for p in _hyperplanes(64, 4, seed=7)
+    ]
+    margins = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], {lits[i]}) AS m{i}"
+        for i in range(4)
+    )
+    bucket = " || ".join(
+        f"(CASE WHEN m{i} >= 0 THEN '1' ELSE '0' END)" for i in range(4)
+    )
+    flip = (  # 1-based position of the lowest-|margin| bit, ties low index
+        "CASE WHEN abs(m0) <= abs(m1) AND abs(m0) <= abs(m2) AND abs(m0) <= abs(m3) THEN 1 "
+        "WHEN abs(m1) <= abs(m2) AND abs(m1) <= abs(m3) THEN 2 "
+        "WHEN abs(m2) <= abs(m3) THEN 3 ELSE 4 END"
+    )
+    return f"""mm AS (SELECT vec_id, embedding::DOUBLE[] AS e, {margins}
+                      FROM embeddings),
+            mf AS (SELECT vec_id, e, {bucket} AS bucket, {flip} AS fi FROM mm),
+            mb AS (
+              SELECT vec_id, e, bucket, TRUE AS is_primary FROM mf
+              UNION ALL
+              SELECT vec_id, e,
+                     substr(bucket, 1, fi - 1)
+                     || (CASE WHEN substr(bucket, fi, 1) = '1' THEN '0' ELSE '1' END)
+                     || substr(bucket, fi + 1),
+                     FALSE FROM mf),
+            msizes AS (SELECT bucket, COUNT(*) AS n FROM mb GROUP BY bucket),
+            mb1 AS (SELECT mb.vec_id, mb.e, mb.is_primary,
+                    CASE WHEN s.n > {cap}
+                         THEN mb.bucket || {_lsh_bucket_sql("mb.e", 4, 8)}
+                         ELSE mb.bucket END AS bucket
+                    FROM mb JOIN msizes s USING (bucket)),
+            mrsizes AS (SELECT bucket, COUNT(*) AS n FROM mb1 GROUP BY bucket),
+            mbf AS (SELECT mb1.* FROM mb1 JOIN mrsizes USING (bucket)
+                    WHERE mrsizes.n <= {cap}),
+            prim AS (SELECT * FROM mbf WHERE is_primary)"""
+
+
 def oracle_sql() -> dict[str, str]:
     sigs = ", ".join(
         f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS sig{j}"
@@ -1542,13 +1600,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
         """,
         "embedding_near_dup_pairs": f"""
-            WITH {_emb_candidates_cte(N_EMB_BUCKET_CAP)}
-            SELECT * FROM (
-                SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+            WITH {_emb_mp_candidates_cte(N_EMB_BUCKET_CAP)}
+            SELECT DISTINCT id_a, id_b, cos_sim FROM (
+                SELECT least(a.vec_id, c.vec_id) AS id_a,
+                       greatest(a.vec_id, c.vec_id) AS id_b,
                        ROUND(list_dot_product(a.e, c.e)
                            / (sqrt(list_dot_product(a.e, a.e))
                             * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
-                FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+                FROM prim a JOIN mbf c
+                  ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
             WHERE cos_sim >= 0.35 ORDER BY id_a, id_b
         """,
         "embedding_bucket_stats": f"""
