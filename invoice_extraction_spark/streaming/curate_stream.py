@@ -99,6 +99,7 @@ def run_curate_stream(
     span_l: int | None = None,
     span_min_count: int = 2,
     span_fast: bool = True,
+    span_bloom: bool = False,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
 ) -> None:
@@ -111,6 +112,9 @@ def run_curate_stream(
     to one whenever its live partition count reaches this many (after the
     batch's commit, so it never races a replay)."""
     from pyspark.sql import types as T
+
+    if span_bloom and not span_fast:
+        raise ValueError("span_bloom requires span_fast=True (int64 hash domain)")
 
     schema = schema or T.StructType(
         [
@@ -167,8 +171,16 @@ def run_curate_stream(
         # fingerprints/bands above keyed on the as-ingested text)
         if span_l is not None:
             gram_idx = load_span_index(sp, dirs["grams"], before_seq=batch_id)
+            bloom = None
             if gram_idx is None:
                 gram_idx = _empty_index(sp, span_fast)
+            elif span_bloom:
+                # probe through the compact presence tier: the gram index
+                # is scanned once per batch but never shuffled; the exact
+                # verify tier keeps the output provably identical
+                from ..operators.span_dedup import build_gram_bloom
+
+                bloom = build_gram_bloom(gram_idx)
             out, gram_delta = remove_duplicate_spans_incremental(
                 batch,
                 gram_idx,
@@ -177,6 +189,7 @@ def run_curate_stream(
                 span_l,
                 span_min_count,
                 span_fast,
+                bloom=bloom,
             )
         else:
             out, gram_delta = batch, None

@@ -95,6 +95,7 @@ def run_span_dedup_stream(
     fast: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    use_bloom: bool = False,
 ) -> None:
     """Drain all unseen source parquet files (Trigger.AvailableNow):
     per batch — probe the persisted gram index, cut every non-canonical
@@ -107,7 +108,15 @@ def run_span_dedup_stream(
     the per-batch index partitions back to one whenever the live
     partition count reaches this many (None = compact manually). The
     fold runs after the batch's manifest commit, so it never races a
-    replay, and an interrupted fold is healed on the next load."""
+    replay, and an interrupted fold is healed on the next load.
+
+    ``use_bloom`` (requires ``fast``): probe through the compact Bloom
+    presence tier (``build_gram_bloom``) so the O(distinct grams) index
+    is scanned once per batch but never shuffled — output provably
+    identical (the exact verify tier re-checks every candidate;
+    test_span_bloom), the right trade once the index dwarfs the drops."""
+    if use_bloom and not fast:
+        raise ValueError("use_bloom requires fast=True (int64 hash domain)")
     from pyspark.sql import types as T
 
     schema = schema or T.StructType(
@@ -123,10 +132,15 @@ def run_span_dedup_stream(
             return  # replay of a fully-landed batch: delta is already on disk
         sp = batch_df.sparkSession
         index = load_span_index(sp, index_dir, before_seq=batch_id)
+        bloom = None
         if index is None:
             index = _empty_index(sp, fast)
+        elif use_bloom:
+            from ..operators.span_dedup import build_gram_bloom
+
+            bloom = build_gram_bloom(index)
         out, delta = remove_duplicate_spans_incremental(
-            batch_df, index, text_col, id_col, l, min_count, fast
+            batch_df, index, text_col, id_col, l, min_count, fast, bloom=bloom
         )
         # Delta partition FIRST (see module docstring): deterministic
         # content keyed by batch id, so a replay overwrites itself.

@@ -125,6 +125,25 @@ def main(argv=None):
     )
     ap.add_argument("--no-counts", action="store_true", help="skip per-stage retention counts (single-pass commit)")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="incremental mode: drain unseen source files as micro-batches "
+        "through the gates + exact/near/span tiers against persisted "
+        "seq-partitioned indexes (streaming/curate_stream.py), one atomic "
+        "commit per batch; requires --index-root and --checkpoint. "
+        "Batch-only stages (LM gate, decontam, mixture, packing, url/"
+        "embedding dedup) are rejected in this mode",
+    )
+    ap.add_argument("--index-root", default=None, help="dedup index root dir (streaming mode)")
+    ap.add_argument("--checkpoint", default=None, help="stream checkpoint dir (streaming mode)")
+    ap.add_argument("--compact-every", type=int, default=None, help="fold each index when its live partitions reach this many (streaming mode)")
+    ap.add_argument(
+        "--span-bloom",
+        action="store_true",
+        help="probe the span-gram index through the Bloom presence tier "
+        "(streaming mode; output provably identical)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -141,6 +160,55 @@ def main(argv=None):
 
     owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="curate-job", master=args.master)
+    if args.streaming:
+        if not (args.index_root and args.checkpoint):
+            ap.error("--streaming requires --index-root and --checkpoint")
+        bad = [
+            flag
+            for flag, on in [
+                ("--url-dedup", args.url_dedup),
+                ("--embedding-dedup", args.embedding_dedup is not None),
+                ("--line-dedup", args.line_dedup is not None),
+                ("--max-pseudo-ppl", args.max_pseudo_ppl is not None),
+                ("--bench", bool(args.bench)),
+                ("--mixture", bool(args.mixture)),
+                ("--pack-budget", bool(args.pack_budget)),
+            ]
+            if on
+        ]
+        if bad:
+            ap.error(
+                "batch-only stages not available with --streaming: "
+                + ", ".join(bad)
+            )
+        from invoice_extraction_spark.sources.atomic import list_manifests
+        from invoice_extraction_spark.streaming.curate_stream import (
+            run_curate_stream,
+        )
+
+        run_curate_stream(
+            spark,
+            args.source,
+            args.table,
+            args.index_root,
+            args.checkpoint,
+            # readStream needs an explicit schema: take the source's own
+            schema=spark.read.parquet(args.source).schema,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            fix_text=args.fix_text,
+            min_quality=args.min_quality,
+            repetition_gate=args.repetition_gate,
+            exact=args.exact_dedup,
+            near=args.near_dedup,
+            jaccard=args.jaccard,
+            span_l=args.span_dedup,
+            span_bloom=args.span_bloom,
+            compact_every=args.compact_every,
+        )
+        n_batches = len(list_manifests(args.table))
+        print(f"streaming drain complete: {n_batches} committed batches")
+        return
     if os.path.isdir(os.path.join(args.source, "_manifests")):
         # the source is itself an atomic table (e.g. jobs/extract.py output):
         # read the committed snapshot, never uncommitted files

@@ -195,3 +195,58 @@ def test_compaction_cadence_all_indexes(spark, tmp_path):
     # dedup still correct against mid-stream-compacted history
     assert set(t) == {"g1", "sp1", "f1", "sp2"}
     assert t["sp2"] == SP2.replace(" " + SHARED + " ", " ")
+
+
+def test_span_bloom_stream_identical_output(spark, tmp_path):
+    """use_bloom probes through the presence tier; the exact verify tier
+    keeps the streamed result byte-identical to the plain probe."""
+    plain = _dirs(tmp_path / "plain")
+    bloomed = _dirs(tmp_path / "bloomed")
+    for dirs, kw in ((plain, {}), (bloomed, {"span_bloom": True})):
+        for rows in ([("sp1", SP1)], [("sp2", SP2), ("f1", FRESH)]):
+            _write_batch(spark, dirs[0], rows)
+            _run(spark, dirs, span_l=L, max_files_per_trigger=1, **kw)
+    assert _texts(spark, bloomed[1]) == _texts(spark, plain[1])
+    # the gram indexes fold identically too
+    from invoice_extraction_spark.streaming.span_dedup_stream import (
+        load_span_index,
+    )
+
+    want = {
+        r["gh"]: (r["n_occ"], r["canon"])
+        for r in load_span_index(spark, index_dirs(plain[2])["grams"]).collect()
+    }
+    got = {
+        r["gh"]: (r["n_occ"], r["canon"])
+        for r in load_span_index(
+            spark, index_dirs(bloomed[2])["grams"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cli_streaming_mode(spark, tmp_path):
+    """jobs/curate.py --streaming: the spark-submit surface drains the
+    source through the incremental chain, a re-invocation is a no-op, and
+    batch-only stages are rejected."""
+    from jobs.curate import main
+
+    src, tbl, idx, ckpt = _dirs(tmp_path)
+    _write_batch(spark, src, [("g1", GOOD), ("junk", JUNK), ("g1b", GOOD)])
+    argv = [
+        "--source", src, "--table", tbl,
+        "--id-col", "url",
+        "--streaming", "--index-root", idx, "--checkpoint", ckpt,
+        "--exact-dedup", "--min-quality", "0.05",
+    ]
+    main(argv)
+    assert set(_texts(spark, tbl)) == {"g1"}
+
+    # second drop drains incrementally; duplicate of history drops
+    _write_batch(spark, src, [("z9", GOOD), ("f1", FRESH)])
+    main(argv)
+    assert set(_texts(spark, tbl)) == {"g1", "f1"}
+
+    # batch-only stage rejected loudly in streaming mode
+    with pytest.raises(SystemExit):
+        main(argv + ["--pack-budget", "256"])

@@ -235,3 +235,17 @@ def test_string_id_one_shot_semantics(spark):
     assert out["u0"] == (f"one two {SHARED} seven eight", 0)
     assert out["u1"] == ("nine ten eleven", 6)
     assert out["u2"][1] == 0
+
+
+def test_use_bloom_identical_output(spark, tmp_path):
+    """use_bloom probes through the Bloom presence tier; the exact verify
+    tier keeps the streamed corpus byte-identical to the plain probe."""
+    plain = _dirs(tmp_path / "plain")
+    bloomed = _dirs(tmp_path / "bloomed")
+    for dirs, kw in ((plain, {}), (bloomed, {"use_bloom": True})):
+        src, tbl, idx, ckpt = dirs
+        _write_batch(spark, src, B0)
+        run_span_dedup_stream(spark, src, tbl, idx, ckpt, l=L, **kw)
+        _write_batch(spark, src, B1)
+        run_span_dedup_stream(spark, src, tbl, idx, ckpt, l=L, **kw)
+    assert _texts(spark, bloomed[1]) == _texts(spark, plain[1])
