@@ -11,7 +11,11 @@ Per micro-batch of new documents:
    batch's text fingerprints against the persisted fingerprint index of
    every previously committed document;
 3. near dedup (optional) — within-batch ``dedup_near``, then
-   ``dedup_incremental`` against the persisted LSH band index;
+   ``dedup_incremental`` against the persisted LSH band index; with
+   ``near_verify`` the band collisions are confirmed against a persisted
+   signature index (``dedup_incremental_sigverify`` — estimated jaccard
+   by MinHash lane agreement) so a pure band collision cannot drop a
+   non-duplicate, still without ever reading history text;
 4. span dedup (optional) — ``remove_duplicate_spans_incremental`` against
    the persisted span-gram index: non-canonical repeated >= L-token spans
    are CUT (text rewritten), history always winning;
@@ -55,7 +59,14 @@ from ..functions.text_metrics import (
     repetition_keep_fast,
     repetition_stats_fast,
 )
-from ..operators.dedup import band_index, dedup_exact, dedup_incremental, dedup_near
+from ..operators.dedup import (
+    band_index,
+    dedup_exact,
+    dedup_incremental,
+    dedup_incremental_sigverify,
+    dedup_near,
+    sig_index,
+)
 from ..operators.span_dedup import (
     DEFAULT_SPAN_TOKENS,
     remove_duplicate_spans_incremental,
@@ -75,6 +86,7 @@ def index_dirs(index_root: str) -> dict[str, str]:
     return {
         "exact": f"{index_root}/exact",
         "bands": f"{index_root}/bands",
+        "sigs": f"{index_root}/sigs",
         "grams": f"{index_root}/grams",
     }
 
@@ -93,6 +105,7 @@ def run_curate_stream(
     repetition_gate: bool = False,
     exact: bool = True,
     near: bool = False,
+    near_verify: bool = False,
     jaccard: float = 0.7,
     num_bands: int = 4,
     rows_per_band: int = 2,
@@ -152,7 +165,12 @@ def run_curate_stream(
                     "_cs_fp",
                     "left_anti",
                 )
-        # 3) near tier: within-batch, then vs the band index
+        # 3) near tier: within-batch, then vs the band index. With
+        # near_verify, band collisions are confirmed against the persisted
+        # MinHash signatures (estimated jaccard by lane agreement) before
+        # any drop — a pure band collision can no longer kill a
+        # non-duplicate, and history text is still never read
+        new_sigs = None
         if near:
             batch = dedup_near(
                 batch,
@@ -163,7 +181,24 @@ def run_curate_stream(
                 rows_per_band=rows_per_band,
             )
             band_idx = load_rows(sp, dirs["bands"], before_seq=batch_id)
-            if band_idx is not None:
+            if near_verify:
+                new_sigs = sig_index(
+                    batch, text_col, id_col, num_bands * rows_per_band
+                )
+                sig_idx = load_rows(sp, dirs["sigs"], before_seq=batch_id)
+                if band_idx is not None and sig_idx is not None:
+                    batch = dedup_incremental_sigverify(
+                        batch,
+                        band_idx,
+                        sig_idx,
+                        text_col,
+                        id_col,
+                        num_bands,
+                        rows_per_band,
+                        threshold=jaccard,
+                        new_sigs=new_sigs,
+                    )
+            elif band_idx is not None:
                 batch = dedup_incremental(
                     batch, band_idx, text_col, id_col, num_bands, rows_per_band
                 )
@@ -207,6 +242,14 @@ def run_curate_stream(
             band_index(
                 batch, text_col, id_col, num_bands, rows_per_band
             ).write.mode("overwrite").parquet(f"{dirs['bands']}/seq={batch_id}")
+            if near_verify:
+                # signatures of the same survivor rows (new_sigs covers the
+                # pre-cross-probe batch; semi-join down to what committed)
+                new_sigs.join(
+                    batch.select(F.col(id_col).alias("id")), "id", "left_semi"
+                ).write.mode("overwrite").parquet(
+                    f"{dirs['sigs']}/seq={batch_id}"
+                )
         if gram_delta is not None:
             gram_delta.write.mode("overwrite").parquet(
                 f"{dirs['grams']}/seq={batch_id}"
@@ -218,7 +261,7 @@ def run_curate_stream(
             ok_predicate=f"{text_col} IS NOT NULL AND length({text_col}) > 0",
         )
         if compact_every is not None:
-            for d in (dirs["exact"], dirs["bands"]):
+            for d in (dirs["exact"], dirs["bands"], dirs["sigs"]):
                 if n_seq_partitions(d) >= compact_every:
                     compact_rows(sp, d)
             if n_seq_partitions(dirs["grams"]) >= compact_every:

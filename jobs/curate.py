@@ -139,6 +139,13 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None, help="stream checkpoint dir (streaming mode)")
     ap.add_argument("--compact-every", type=int, default=None, help="fold each index when its live partitions reach this many (streaming mode)")
     ap.add_argument(
+        "--near-verify",
+        action="store_true",
+        help="confirm cross-batch band collisions against the persisted "
+        "MinHash signature index before dropping (streaming mode; history "
+        "text still never read)",
+    )
+    ap.add_argument(
         "--span-bloom",
         action="store_true",
         help="probe the span-gram index through the Bloom presence tier "
@@ -201,6 +208,7 @@ def main(argv=None):
             repetition_gate=args.repetition_gate,
             exact=args.exact_dedup,
             near=args.near_dedup,
+            near_verify=args.near_verify,
             jaccard=args.jaccard,
             span_l=args.span_dedup,
             span_bloom=args.span_bloom,

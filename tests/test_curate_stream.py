@@ -250,3 +250,21 @@ def test_cli_streaming_mode(spark, tmp_path):
     # batch-only stage rejected loudly in streaming mode
     with pytest.raises(SystemExit):
         main(argv + ["--pack-budget", "256"])
+
+
+def test_near_verify_cross_batch(spark, tmp_path):
+    """near_verify=True: true cross-batch near-dups still drop (the
+    signatures agree), the signature index accumulates exactly the
+    committed survivors, and a replay is a no-op."""
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    kw = dict(near=True, near_verify=True)
+    _write_batch(spark, src, [("g1", GOOD)])
+    _run(spark, dirs, **kw)
+    _write_batch(spark, src, [("n1", NEAR), ("f1", FRESH)])
+    _run(spark, dirs, **kw)
+    t = _texts(spark, tbl)
+    assert set(t) == {"g1", "f1"}
+    sigs = load_rows(spark, index_dirs(idx)["sigs"])
+    assert {r["id"] for r in sigs.select("id").collect()} == {"g1", "f1"}
+    _run(spark, dirs, **kw)  # replay no-op
+    assert set(_texts(spark, tbl)) == {"g1", "f1"}

@@ -284,3 +284,86 @@ def test_dedup_near_threads_max_band_size(spark):
         r["doc_id"] for r in dedup_near(d, threshold=0.5, max_band_size=1).collect()
     )
     assert kept_capped == [0, 2, 3, 4]
+
+
+def test_estimated_jaccard_lane_agreement(spark):
+    from invoice_extraction_spark.operators.dedup import (
+        estimated_jaccard,
+        sig_index,
+    )
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps over the lazy dog today"),
+                (3, "ancient unrelated chronicle of harvest rituals and rivers"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    s = sig_index(d)
+    a = s.filter("id = 1").select(F.col("sig").alias("sa"))
+    for other, lo, hi in ((2, 1.0, 1.0), (3, 0.0, 0.25)):
+        b = s.filter(f"id = {other}").select(F.col("sig").alias("sb"))
+        est = (
+            a.crossJoin(b)
+            .select(estimated_jaccard(F.col("sa"), F.col("sb")).alias("e"))
+            .first()["e"]
+        )
+        assert lo <= est <= hi, (other, est)
+
+
+def test_sigverify_rescues_band_collision(spark):
+    """The streaming analog of the history_df verify tier: a planted band
+    collision (new doc's band keys under an unrelated history id) drops
+    the non-duplicate at candidate level; the persisted-signature verify
+    rescues it WITHOUT any history text."""
+    from invoice_extraction_spark.operators.dedup import (
+        band_index,
+        dedup_incremental,
+        dedup_incremental_sigverify,
+        sig_index,
+    )
+
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, "totally novel words about satellites and orbital mechanics today")],
+            columns=["doc_id", "text"],
+        )
+    )
+    history = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "ancient unrelated chronicle of harvest rituals and river crossings")],
+            columns=["doc_id", "text"],
+        )
+    )
+    planted = band_index(new).select(F.lit(1).alias("id"), "band")
+    hist_sigs = sig_index(history)
+
+    assert dedup_incremental(new, planted).count() == 0  # false positive
+    kept = dedup_incremental_sigverify(new, planted, hist_sigs)
+    assert [r["doc_id"] for r in kept.collect()] == [10]  # rescued
+
+
+def test_sigverify_still_drops_true_dup(spark):
+    from invoice_extraction_spark.operators.dedup import (
+        band_index,
+        dedup_incremental_sigverify,
+        sig_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    history = spark.createDataFrame(
+        pd.DataFrame([(1, base)], columns=["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, base.replace("today", "tonight")), (11, "entirely different text")],
+            columns=["doc_id", "text"],
+        )
+    )
+    kept = dedup_incremental_sigverify(
+        new, band_index(history), sig_index(history), threshold=0.5
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [11]
