@@ -16,6 +16,10 @@ Per micro-batch of new documents:
    signature index (``dedup_incremental_sigverify`` — estimated jaccard
    by MinHash lane agreement) so a pure band collision cannot drop a
    non-duplicate, still without ever reading history text;
+3b. embedding dedup (optional, when the stream's rows carry an
+   embedding column) — within-batch cluster collapse + history-wins
+   cosine drop against the persisted bucket-membership index (the
+   ``embedding_dedup_stream`` micro-batch kernel, applied to doc rows);
 4. span dedup (optional) — ``remove_duplicate_spans_incremental`` against
    the persisted span-gram index: non-canonical repeated >= L-token spans
    are CUT (text rewritten), history always winning;
@@ -72,6 +76,10 @@ from ..operators.span_dedup import (
     remove_duplicate_spans_incremental,
 )
 from ..sources.atomic import commit_append, list_manifests
+from .embedding_dedup_stream import (
+    dedup_batch_memberships,
+    load_membership_index,
+)
 from .seq_index import compact_rows, load_rows, n_seq_partitions
 from .span_dedup_stream import (
     _empty_index,
@@ -87,6 +95,7 @@ def index_dirs(index_root: str) -> dict[str, str]:
         "exact": f"{index_root}/exact",
         "bands": f"{index_root}/bands",
         "sigs": f"{index_root}/sigs",
+        "emb": f"{index_root}/emb",
         "grams": f"{index_root}/grams",
     }
 
@@ -109,6 +118,11 @@ def run_curate_stream(
     jaccard: float = 0.7,
     num_bands: int = 4,
     rows_per_band: int = 2,
+    embedding_col: str | None = None,
+    embedding_min_cos: float = 0.99,
+    embedding_n_planes: int = 4,
+    embedding_dim: int = 64,
+    embedding_n_probe: int = 1,
     span_l: int | None = None,
     span_min_count: int = 2,
     span_fast: bool = True,
@@ -202,6 +216,30 @@ def run_curate_stream(
                 batch = dedup_incremental(
                     batch, band_idx, text_col, id_col, num_bands, rows_per_band
                 )
+        # 3b) embedding tier (when the source carries a vector column):
+        # within-batch cluster collapse + history-wins cosine drop against
+        # the persisted membership index — the same micro-batch kernel as
+        # run_embedding_dedup_stream, here gated on the doc rows
+        emb_kept = None
+        if embedding_col is not None:
+            emb_hist = load_membership_index(
+                sp, dirs["emb"], before_seq=batch_id
+            )
+            emb_kept = dedup_batch_memberships(
+                batch,
+                emb_hist,
+                vec_col=embedding_col,
+                id_col=id_col,
+                min_cos=embedding_min_cos,
+                n_planes=embedding_n_planes,
+                dim=embedding_dim,
+                n_probe=embedding_n_probe,
+            )
+            batch = batch.join(
+                emb_kept.select(F.col("id").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
         # 4) span tier: cut repeated spans vs the gram index (rewrites text;
         # fingerprints/bands above keyed on the as-ingested text)
         if span_l is not None:
@@ -250,6 +288,10 @@ def run_curate_stream(
                 ).write.mode("overwrite").parquet(
                     f"{dirs['sigs']}/seq={batch_id}"
                 )
+        if emb_kept is not None:
+            emb_kept.select("id", "v", "bucket", "is_primary").write.mode(
+                "overwrite"
+            ).parquet(f"{dirs['emb']}/seq={batch_id}")
         if gram_delta is not None:
             gram_delta.write.mode("overwrite").parquet(
                 f"{dirs['grams']}/seq={batch_id}"
@@ -261,7 +303,7 @@ def run_curate_stream(
             ok_predicate=f"{text_col} IS NOT NULL AND length({text_col}) > 0",
         )
         if compact_every is not None:
-            for d in (dirs["exact"], dirs["bands"], dirs["sigs"]):
+            for d in (dirs["exact"], dirs["bands"], dirs["sigs"], dirs["emb"]):
                 if n_seq_partitions(d) >= compact_every:
                     compact_rows(sp, d)
             if n_seq_partitions(dirs["grams"]) >= compact_every:

@@ -105,6 +105,84 @@ def _near_dup_pairs(mb: DataFrame, min_cos: float) -> DataFrame:
     )
 
 
+def dedup_batch_memberships(
+    batch_df: DataFrame,
+    hist: DataFrame | None,
+    vec_col: str = "embedding",
+    id_col: str = "url",
+    min_cos: float = 0.99,
+    n_planes: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    n_probe: int = 0,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """The embedding-dedup micro-batch kernel, shared by
+    ``run_embedding_dedup_stream`` and the composed curation stream:
+    fixed-policy memberships for the batch, probe-time hot-bucket cap over
+    the COMBINED (batch + history) occupancy, within-batch cluster
+    collapse via connected components (min-id canonical), then the
+    cross-batch history-wins drop (at-least-one-primary bucket join +
+    exact cosine verify against committed survivor vectors). Returns the
+    batch survivors' (id, v, bucket, is_primary) membership rows — the
+    batch's index delta; survivors are ``distinct(id)`` of it.
+
+    The cap skips candidate generation for over-cap buckets this batch;
+    membership rows persist in full, so the cap costs recall (observable:
+    the bucket only grows), never index completeness."""
+    mb = candidate_memberships(
+        batch_df,
+        n_planes,
+        seed,
+        vec_col,
+        id_col,
+        dim,
+        max_bucket_size=None,  # cap applies at probe time, not to the index
+        sub_bucket_planes=0,  # fixed keys: no data-dependent refinement
+        n_probe=n_probe,
+    )
+    probe_mb = mb
+    probe_hist = hist
+    if max_bucket_size is not None:
+        occupancy = mb.select("bucket")
+        if hist is not None:
+            occupancy = occupancy.unionByName(hist.select("bucket"))
+        cold = (
+            occupancy.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        probe_mb = mb.join(F.broadcast(cold), "bucket", "left_semi")
+        if hist is not None:
+            probe_hist = hist.join(F.broadcast(cold), "bucket", "left_semi")
+    # 1) within-batch: components over threshold pairs, min-id survives
+    drop_within = (
+        connected_components(_near_dup_pairs(probe_mb, min_cos))
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("id"))
+    )
+    kept = mb.join(drop_within, "id", "left_anti")
+    probe_kept = probe_mb.join(drop_within, "id", "left_anti")
+    # 2) cross-batch: history always wins — at-least-one-primary bucket
+    # join + exact cosine verify against committed survivor vectors
+    if probe_hist is not None:
+        h = probe_hist.select(
+            "bucket",
+            F.col("v").alias("_h_v"),
+            F.col("is_primary").alias("_h_prim"),
+        )
+        cross = (
+            probe_kept.join(h, "bucket")
+            .filter(F.col("is_primary") | F.col("_h_prim"))
+            .filter(F.round(cosine(F.col("v"), F.col("_h_v")), 4) >= min_cos)
+            .select("id")
+            .distinct()
+        )
+        kept = kept.join(cross, "id", "left_anti")
+    return kept
+
+
 def run_embedding_dedup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -157,61 +235,11 @@ def run_embedding_dedup_stream(
         if any(m["run_id"] == run_id for m in list_manifests(table_dir)):
             return  # replay of a fully-landed batch: delta is already on disk
         sp = batch_df.sparkSession
-        mb = candidate_memberships(
-            batch_df,
-            n_planes,
-            seed,
-            vec_col,
-            id_col,
-            dim,
-            max_bucket_size=None,  # cap applies at probe time, not to the index
-            sub_bucket_planes=0,  # fixed keys: no data-dependent refinement
-            n_probe=n_probe,
-        )
         hist = load_membership_index(sp, index_dir, before_seq=batch_id)
-        # probe-time hot-bucket cap over the COMBINED occupancy: candidate
-        # generation skips over-cap buckets this batch; index rows persist
-        # in full, so the cap costs recall (observable: the bucket only
-        # grows), never index completeness
-        probe_mb = mb
-        probe_hist = hist
-        if max_bucket_size is not None:
-            occupancy = mb.select("bucket")
-            if hist is not None:
-                occupancy = occupancy.unionByName(hist.select("bucket"))
-            cold = (
-                occupancy.groupBy("bucket")
-                .agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") <= max_bucket_size)
-                .select("bucket")
-            )
-            probe_mb = mb.join(F.broadcast(cold), "bucket", "left_semi")
-            if hist is not None:
-                probe_hist = hist.join(F.broadcast(cold), "bucket", "left_semi")
-        # 1) within-batch: components over threshold pairs, min-id survives
-        drop_within = (
-            connected_components(_near_dup_pairs(probe_mb, min_cos))
-            .filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias("id"))
+        kept = dedup_batch_memberships(
+            batch_df, hist, vec_col, id_col, min_cos,
+            n_planes, seed, dim, n_probe, max_bucket_size,
         )
-        kept = mb.join(drop_within, "id", "left_anti")
-        probe_kept = probe_mb.join(drop_within, "id", "left_anti")
-        # 2) cross-batch: history always wins — at-least-one-primary bucket
-        # join + exact cosine verify against committed survivor vectors
-        if probe_hist is not None:
-            h = probe_hist.select(
-                "bucket",
-                F.col("v").alias("_h_v"),
-                F.col("is_primary").alias("_h_prim"),
-            )
-            cross = (
-                probe_kept.join(h, "bucket")
-                .filter(F.col("is_primary") | F.col("_h_prim"))
-                .filter(F.round(cosine(F.col("v"), F.col("_h_v")), 4) >= min_cos)
-                .select("id")
-                .distinct()
-            )
-            kept = kept.join(cross, "id", "left_anti")
         # Delta partition FIRST (module docstring): deterministic content
         # keyed by batch id, so a replay overwrites itself.
         kept.select("id", "v", "bucket", "is_primary").write.mode(

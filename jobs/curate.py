@@ -136,6 +136,14 @@ def main(argv=None):
         "embedding dedup) are rejected in this mode",
     )
     ap.add_argument("--index-root", default=None, help="dedup index root dir (streaming mode)")
+    ap.add_argument(
+        "--embedding-col",
+        default=None,
+        help="streaming mode: embedding column carried by the source rows, "
+        "enabling the embedding near-dup tier at the --embedding-dedup "
+        "threshold (vs the persisted membership index)",
+    )
+    ap.add_argument("--embedding-dim", type=int, default=64, help="embedding dimension (streaming embedding tier)")
     ap.add_argument("--checkpoint", default=None, help="stream checkpoint dir (streaming mode)")
     ap.add_argument("--compact-every", type=int, default=None, help="fold each index when its live partitions reach this many (streaming mode)")
     ap.add_argument(
@@ -170,11 +178,16 @@ def main(argv=None):
     if args.streaming:
         if not (args.index_root and args.checkpoint):
             ap.error("--streaming requires --index-root and --checkpoint")
+        if args.embedding_dedup is not None and not args.embedding_col:
+            ap.error(
+                "--embedding-dedup with --streaming requires --embedding-col "
+                "(the source rows must carry the vectors)"
+            )
         bad = [
             flag
             for flag, on in [
                 ("--url-dedup", args.url_dedup),
-                ("--embedding-dedup", args.embedding_dedup is not None),
+                ("--embeddings", bool(args.embeddings)),
                 ("--line-dedup", args.line_dedup is not None),
                 ("--max-pseudo-ppl", args.max_pseudo_ppl is not None),
                 ("--bench", bool(args.bench)),
@@ -210,6 +223,14 @@ def main(argv=None):
             near=args.near_dedup,
             near_verify=args.near_verify,
             jaccard=args.jaccard,
+            embedding_col=(
+                args.embedding_col if args.embedding_dedup is not None else None
+            ),
+            embedding_min_cos=(
+                args.embedding_dedup if args.embedding_dedup is not None else 0.99
+            ),
+            embedding_dim=args.embedding_dim,
+            embedding_n_probe=args.embedding_probes,
             span_l=args.span_dedup,
             span_bloom=args.span_bloom,
             compact_every=args.compact_every,

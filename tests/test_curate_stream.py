@@ -250,6 +250,9 @@ def test_cli_streaming_mode(spark, tmp_path):
     # batch-only stage rejected loudly in streaming mode
     with pytest.raises(SystemExit):
         main(argv + ["--pack-budget", "256"])
+    # streaming embedding tier needs the vectors ON the rows
+    with pytest.raises(SystemExit):
+        main(argv + ["--embedding-dedup", "0.99"])
 
 
 def test_near_verify_cross_batch(spark, tmp_path):
@@ -266,5 +269,53 @@ def test_near_verify_cross_batch(spark, tmp_path):
     assert set(t) == {"g1", "f1"}
     sigs = load_rows(spark, index_dirs(idx)["sigs"])
     assert {r["id"] for r in sigs.select("id").collect()} == {"g1", "f1"}
+    _run(spark, dirs, **kw)  # replay no-op
+    assert set(_texts(spark, tbl)) == {"g1", "f1"}
+
+
+def test_embedding_tier_cross_batch(spark, tmp_path):
+    """embedding_col enables the fourth dedup family inside the composed
+    stream: a doc whose vector near-dups a committed survivor drops even
+    when its TEXT is fresh, and the membership index tracks survivors."""
+    import numpy as np
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rng = np.random.default_rng(42)
+    a0 = np.asarray(unit(rng.normal(size=8)))
+    a1 = unit(a0 + 0.005 * rng.normal(size=8))
+    s0 = unit(rng.normal(size=8))
+    a0 = unit(a0)
+
+    src, tbl, idx, ckpt = dirs = _dirs(tmp_path)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, text string, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(
+        schema="url string, text string, embedding array<double>",
+        embedding_col="embedding",
+        embedding_dim=8,
+        embedding_n_probe=0,
+    )
+    write([("g1", GOOD, a0)])
+    _run(spark, dirs, **kw)
+    write([("e9", FRESH, a1), ("f1", SP1, s0)])
+    _run(spark, dirs, **kw)
+    t = _texts(spark, tbl)
+    # e9's text is fresh but its vector near-dups committed g1 -> dropped
+    assert set(t) == {"g1", "f1"}
+    from invoice_extraction_spark.streaming.embedding_dedup_stream import (
+        load_membership_index,
+    )
+
+    mb = load_membership_index(spark, index_dirs(idx)["emb"])
+    assert {r["id"] for r in mb.select("id").distinct().collect()} == {
+        "g1", "f1",
+    }
     _run(spark, dirs, **kw)  # replay no-op
     assert set(_texts(spark, tbl)) == {"g1", "f1"}
