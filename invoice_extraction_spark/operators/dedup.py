@@ -458,6 +458,7 @@ def dedup_incremental_sigverify(
     threshold: float = 0.7,
     shingle_n: int = 3,
     new_sigs: DataFrame | None = None,
+    max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
 ) -> DataFrame:
     """Signature-verified incremental near-dedup WITHOUT history text —
     the middle rung between ``dedup_incremental``'s candidate-level drop
@@ -478,11 +479,27 @@ def dedup_incremental_sigverify(
     10^12-doc daily drop requires.
 
     ``new_sigs`` — a precomputed ``sig_index(new_df)`` so one MinHash
-    pass can feed bands, the probe, and the index delta."""
+    pass can feed bands, the probe, and the index delta.
+
+    ``max_band_size``: a degenerate index band (boilerplate shared by
+    thousands of history docs — guaranteed in web-scale data) would fan
+    the candidate join out to new-docs x history-ids rows; bands whose
+    index occupancy exceeds the cap are excluded from candidacy (the
+    same drop-and-observe policy as every other hot-key cap — the hot
+    set is tiny and broadcasts; use ``dedup_incremental_stats`` for
+    drop observability)."""
     if new_sigs is None:
         new_sigs = sig_index(
             new_df, text_col, id_col, num_bands * rows_per_band, shingle_n
         )
+    if max_band_size is not None:
+        hot = (
+            index.groupBy("band")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_band_size)
+            .select("band")
+        )
+        index = index.join(F.broadcast(hot), "band", "left_anti")
     new_bands = new_sigs.select(
         "id",
         F.explode(

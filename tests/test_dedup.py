@@ -367,3 +367,45 @@ def test_sigverify_still_drops_true_dup(spark):
         new, band_index(history), sig_index(history), threshold=0.5
     )
     assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_sigverify_hot_band_cap_bounds_fanout(spark):
+    """A degenerate index band (many history ids sharing one band) is
+    excluded from sig-verify candidacy above the cap — the candidate join
+    can never fan out new-docs x hot-band-history; below the cap the same
+    planted collision verifies normally."""
+    from invoice_extraction_spark.operators.dedup import (
+        band_index,
+        dedup_incremental_sigverify,
+        sig_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    history = spark.createDataFrame(
+        pd.DataFrame([(1, base)], columns=["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, base.replace("today", "tonight"))], columns=["doc_id", "text"]
+        )
+    )
+    # plant the SAME band rows under 50 distinct history ids: a degenerate
+    # boilerplate band
+    hb = band_index(history)
+    planted = hb
+    for i in range(2, 51):
+        planted = planted.unionByName(hb.withColumn("id", F.lit(i)))
+    sigs = sig_index(history)
+    for i in range(2, 51):
+        sigs = sigs.unionByName(sig_index(history).withColumn("id", F.lit(i)))
+
+    # cap below the occupancy: every band is hot -> no candidates -> kept
+    kept = dedup_incremental_sigverify(
+        new, planted, sigs, threshold=0.5, max_band_size=10
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [10]
+    # cap above the occupancy: the true near-dup verifies and drops
+    kept = dedup_incremental_sigverify(
+        new, planted, sigs, threshold=0.5, max_band_size=1000
+    )
+    assert kept.count() == 0
