@@ -6,8 +6,10 @@ growth, and retention — the evidence that the composed incremental chain
 keeps the per-drop cost O(drop + index probes) while three state families
 accumulate.
 
-Usage: python scripts/curate_stream_rehearsal.py [sf_dir] [n_drops]
-Prints one JSON line; paste numbers into BENCH/BASELINE.md.
+Usage: python scripts/curate_stream_rehearsal.py [sf_dir] [n_drops] [near_verify]
+(near_verify: 1 = confirm cross-batch band collisions against the
+persisted signature index before dropping). Prints one JSON line; paste
+numbers into BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def _dir_bytes(d: str) -> int:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     n_drops = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    near_verify = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     base = "/tmp/curate_stream_rehearsal"
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/source"
@@ -80,6 +83,7 @@ def main() -> None:
             repetition_gate=True,
             exact=True,
             near=True,
+            near_verify=near_verify,
             span_l=20,
             max_files_per_trigger=1,
         )
@@ -104,7 +108,12 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_drops": n_drops,
                 "gates": {"min_quality": 0.05, "repetition_gate": True},
-                "tiers": {"exact": True, "near": True, "span_l": 20},
+                "tiers": {
+                    "exact": True,
+                    "near": True,
+                    "near_verify": near_verify,
+                    "span_l": 20,
+                },
                 "drops": drops,
                 "docs_out": n_out,
                 "docs_dropped": n_docs - n_out,
