@@ -12,10 +12,13 @@ Per micro-batch of new documents:
    every previously committed document;
 3. near dedup (optional) — within-batch ``dedup_near``, then
    ``dedup_incremental`` against the persisted LSH band index; with
-   ``near_verify`` the band collisions are confirmed against a persisted
+   ``near_verify`` (DEFAULT ON — the sf1 measurement found 6.8% of the
+   corpus silently deleted by pure band collisions at candidate level,
+   BENCH/BASELINE.md) the collisions are confirmed against a persisted
    signature index (``dedup_incremental_sigverify`` — estimated jaccard
    by MinHash lane agreement) so a pure band collision cannot drop a
-   non-duplicate, still without ever reading history text;
+   non-duplicate, still without ever reading history text; pass
+   ``near_verify=False`` for the cheaper candidate-level contract;
 3b. embedding dedup (optional, when the stream's rows carry an
    embedding column) — within-batch cluster collapse + history-wins
    cosine drop against the persisted bucket-membership index (the
@@ -114,7 +117,7 @@ def run_curate_stream(
     repetition_gate: bool = False,
     exact: bool = True,
     near: bool = False,
-    near_verify: bool = False,
+    near_verify: bool = True,
     jaccard: float = 0.7,
     num_bands: int = 4,
     rows_per_band: int = 2,

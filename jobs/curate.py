@@ -148,10 +148,13 @@ def main(argv=None):
     ap.add_argument("--compact-every", type=int, default=None, help="fold each index when its live partitions reach this many (streaming mode)")
     ap.add_argument(
         "--near-verify",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="confirm cross-batch band collisions against the persisted "
         "MinHash signature index before dropping (streaming mode; history "
-        "text still never read)",
+        "text still never read). DEFAULT ON — candidate-level dropped 6.8%% "
+        "of the sf1 corpus on pure collisions; --no-near-verify restores "
+        "the cheaper candidate-level contract",
     )
     ap.add_argument(
         "--span-bloom",
