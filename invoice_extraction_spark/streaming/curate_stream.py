@@ -132,6 +132,7 @@ def run_curate_stream(
     span_bloom: bool = False,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    stats: bool = False,
 ) -> None:
     """Drain all unseen source parquet files (Trigger.AvailableNow) through
     the incremental curation chain (module docstring). Keep the tier
@@ -140,7 +141,15 @@ def run_curate_stream(
 
     ``compact_every``: fold each enabled index's per-batch partitions back
     to one whenever its live partition count reaches this many (after the
-    batch's commit, so it never races a replay)."""
+    batch's commit, so it never races a replay).
+
+    ``stats``: write one per-batch retention row (rows in, survivors after
+    each enabled stage) to ``<index_root>/stats/seq=<batch_id>`` — the
+    streaming analog of the batch job's per-stage counts. Costs one extra
+    count() action per enabled stage per batch (the observability trade
+    the batch job documents); the row is delta-first and idempotent like
+    every other index partition, and ``load_rows`` over the stats dir is
+    the whole retention history."""
     from pyspark.sql import types as T
 
     if span_bloom and not span_fast:
@@ -160,6 +169,14 @@ def run_curate_stream(
             return  # replay of a fully-landed batch: deltas already on disk
         sp = batch_df.sparkSession
         batch = batch_df
+        tier_counts: list[tuple[str, int]] = []
+
+        def record(name: str, frame):
+            if stats:
+                tier_counts.append((name, frame.count()))
+            return frame
+
+        batch = record("input", batch)
         # 1) stateless gates — map-only, cheapest first
         if fix_text:
             from ..functions.textfix import clean_text
@@ -171,6 +188,8 @@ def run_curate_stream(
             batch = batch.filter(
                 repetition_keep_fast(repetition_stats_fast(F.col(text_col)))
             )
+        if fix_text or min_quality is not None or repetition_gate:
+            batch = record("gates", batch)
         # 2) exact tier: within-batch, then vs the fingerprint index
         if exact:
             batch = dedup_exact(batch, text_col=text_col, id_col=id_col)
@@ -182,6 +201,7 @@ def run_curate_stream(
                     "_cs_fp",
                     "left_anti",
                 )
+            batch = record("exact", batch)
         # 3) near tier: within-batch, then vs the band index. With
         # near_verify, band collisions are confirmed against the persisted
         # MinHash signatures (estimated jaccard by lane agreement) before
@@ -219,6 +239,7 @@ def run_curate_stream(
                 batch = dedup_incremental(
                     batch, band_idx, text_col, id_col, num_bands, rows_per_band
                 )
+            batch = record("near", batch)
         # 3b) embedding tier (when the source carries a vector column):
         # within-batch cluster collapse + history-wins cosine drop against
         # the persisted membership index — the same micro-batch kernel as
@@ -243,6 +264,7 @@ def run_curate_stream(
                 id_col,
                 "left_semi",
             )
+            batch = record("embedding", batch)
         # 4) span tier: cut repeated spans vs the gram index (rewrites text;
         # fingerprints/bands above keyed on the as-ingested text)
         if span_l is not None:
@@ -298,6 +320,15 @@ def run_curate_stream(
         if gram_delta is not None:
             gram_delta.write.mode("overwrite").parquet(
                 f"{dirs['grams']}/seq={batch_id}"
+            )
+        if stats:
+            # stats row delta-first too: same idempotence as every index
+            # partition (a replay overwrites byte-equal content)
+            sp.createDataFrame(
+                [(batch_id, name, int(n)) for name, n in tier_counts],
+                "batch_id bigint, stage string, n_docs bigint",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{index_root}/stats/seq={batch_id}"
             )
         commit_append(
             out.drop("_cs_fp"),

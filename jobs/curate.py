@@ -157,6 +157,12 @@ def main(argv=None):
         "the cheaper candidate-level contract",
     )
     ap.add_argument(
+        "--stream-stats",
+        action="store_true",
+        help="streaming mode: write one per-batch retention row per enabled "
+        "stage to <index-root>/stats (costs one count() per stage per batch)",
+    )
+    ap.add_argument(
         "--span-bloom",
         action="store_true",
         help="probe the span-gram index through the Bloom presence tier "
@@ -237,6 +243,7 @@ def main(argv=None):
             span_l=args.span_dedup,
             span_bloom=args.span_bloom,
             compact_every=args.compact_every,
+            stats=args.stream_stats,
         )
         n_batches = len(list_manifests(args.table))
         print(f"streaming drain complete: {n_batches} committed batches")

@@ -319,3 +319,34 @@ def test_embedding_tier_cross_batch(spark, tmp_path):
     }
     _run(spark, dirs, **kw)  # replay no-op
     assert set(_texts(spark, tbl)) == {"g1", "f1"}
+
+
+def test_per_batch_retention_stats(spark, tmp_path):
+    """stats=True records one retention row per enabled stage per batch,
+    delta-first and replay-idempotent; load_rows over the stats dir is
+    the whole retention history."""
+    dirs = src, tbl, idx, ckpt = _dirs(tmp_path)
+    kw = dict(min_quality=0.05, repetition_gate=True, stats=True)
+    _write_batch(
+        spark, src, [("g1", GOOD), ("junk", JUNK), ("g1b", GOOD)]
+    )
+    _run(spark, dirs, **kw)
+    rows = {
+        (r["batch_id"], r["stage"]): r["n_docs"]
+        for r in load_rows(spark, f"{idx}/stats").collect()
+    }
+    assert rows == {
+        (0, "input"): 3,
+        (0, "gates"): 2,   # junk gated out
+        (0, "exact"): 1,   # g1b collapsed within batch
+    }
+    _write_batch(spark, src, [("z9", GOOD), ("f1", FRESH)])
+    _run(spark, dirs, **kw)
+    rows = {
+        (r["batch_id"], r["stage"]): r["n_docs"]
+        for r in load_rows(spark, f"{idx}/stats").collect()
+    }
+    assert rows[(1, "input")] == 2
+    assert rows[(1, "exact")] == 1  # z9 dropped vs history
+    _run(spark, dirs, **kw)  # replay: stats unchanged
+    assert len(load_rows(spark, f"{idx}/stats").collect()) == 6
