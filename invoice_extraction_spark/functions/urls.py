@@ -165,10 +165,59 @@ def domain_quota_filter(
     from pyspark.sql import Window
 
     domain = url_registered_domain(F.col(url_col))
-    w = Window.partitionBy("_domain").orderBy(F.md5(F.col(url_col)))
+    w = Window.partitionBy("_dq_domain").orderBy(F.md5(F.col(url_col)))
     return (
-        df.withColumn("_domain", domain)
-        .withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= max_per_domain)
-        .drop("_domain", "_rank")
+        df.withColumn("_dq_domain", domain)
+        .withColumn("_dq_rank", F.row_number().over(w))
+        .filter(F.col("_dq_rank") <= max_per_domain)
+        .drop("_dq_domain", "_dq_rank")
     )
+
+
+def domain_quota_incremental(
+    df: DataFrame,
+    counts: DataFrame | None,
+    max_per_domain: int,
+    url_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """``domain_quota_filter`` for a daily-drop stream: committed history
+    counts against the quota FIRST (history wins — the same asymmetric
+    contract as every incremental dedup tier), then the batch's own rows
+    compete for the remaining slots under the batch operator's exact
+    md5(url) rank. Returns ``(kept, delta)`` where ``delta`` is one
+    ``(domain, n)`` row per domain kept this batch — the seq-partition
+    payload for the persisted quota index (probe = sum of all prior
+    deltas; the index is O(domains), the smallest state in the system).
+
+    Replay-deterministic end to end: the rank is a pure function of the
+    url, the history counts a pure fold of prior batches, so a replayed
+    batch regenerates byte-equal survivors and delta. One shuffle on
+    domain for the rank; the history join is a key join on domain
+    (broadcastable whenever the domain universe is — AQE decides).
+    Collision-safe ``_dq_*`` internals (the ``_cud_*`` lesson)."""
+    from pyspark.sql import Window
+
+    for c in ("_dq_domain", "_dq_rank", "_dq_hist"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already present on the input")
+    w = Window.partitionBy("_dq_domain").orderBy(F.md5(F.col(url_col)))
+    ranked = df.withColumn(
+        "_dq_domain", url_registered_domain(F.col(url_col))
+    ).withColumn("_dq_rank", F.row_number().over(w))
+    if counts is not None:
+        hist = counts.groupBy("domain").agg(F.sum("n").alias("_dq_hist"))
+        ranked = ranked.join(
+            hist.withColumnRenamed("domain", "_dq_domain"),
+            "_dq_domain",
+            "left",
+        )
+    else:
+        ranked = ranked.withColumn("_dq_hist", F.lit(0).cast("long"))
+    kept = ranked.filter(
+        F.col("_dq_rank") + F.coalesce(F.col("_dq_hist"), F.lit(0))
+        <= max_per_domain
+    )
+    delta = kept.groupBy(F.col("_dq_domain").alias("domain")).agg(
+        F.count("*").alias("n")
+    )
+    return kept.drop("_dq_domain", "_dq_rank", "_dq_hist"), delta

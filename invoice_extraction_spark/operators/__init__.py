@@ -90,6 +90,11 @@ _EXPORTS = {
     "pq_topk": ".pq",
     # range join
     "interval_join": ".range_join",
+    # supervised doc-quality classifier
+    "fit_doc_nb": ".doc_quality",
+    "doc_nb_score": ".doc_quality",
+    "doc_nb_score_fast": ".doc_quality",
+    "doc_nb_keep": ".doc_quality",
     # sampling
     "hash_quota_sample": ".sampling",
     "hash_split": ".sampling",

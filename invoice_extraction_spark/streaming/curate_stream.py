@@ -23,6 +23,11 @@ Per micro-batch of new documents:
    embedding column) — within-batch cluster collapse + history-wins
    cosine drop against the persisted bucket-membership index (the
    ``embedding_dedup_stream`` micro-batch kernel, applied to doc rows);
+3c. per-domain quota (optional, when ids are urls) — committed history
+   counts against the quota first, then the batch competes for the
+   remaining slots under the batch operator's deterministic md5(url)
+   rank (``domain_quota_incremental``); runs after the dedup tiers so a
+   duplicate never consumes quota;
 4. span dedup (optional) — ``remove_duplicate_spans_incremental`` against
    the persisted span-gram index: non-canonical repeated >= L-token spans
    are CUT (text rewritten), history always winning;
@@ -100,6 +105,7 @@ def index_dirs(index_root: str) -> dict[str, str]:
         "sigs": f"{index_root}/sigs",
         "emb": f"{index_root}/emb",
         "grams": f"{index_root}/grams",
+        "quota": f"{index_root}/quota",
     }
 
 
@@ -126,6 +132,7 @@ def run_curate_stream(
     embedding_n_planes: int = 4,
     embedding_dim: int = 64,
     embedding_n_probe: int = 1,
+    max_per_domain: int | None = None,
     span_l: int | None = None,
     span_min_count: int = 2,
     span_fast: bool = True,
@@ -138,6 +145,11 @@ def run_curate_stream(
     the incremental curation chain (module docstring). Keep the tier
     config (``num_bands``/``rows_per_band``/``span_l``/``span_fast``)
     constant for the life of an index root.
+
+    ``max_per_domain``: cap committed documents per registered domain
+    across the stream's whole history (``id_col`` must hold urls); the
+    per-domain committed counts persist as their own seq-partitioned
+    index — O(domains) rows, summed at probe time.
 
     ``compact_every``: fold each enabled index's per-batch partitions back
     to one whenever its live partition count reaches this many (after the
@@ -265,6 +277,21 @@ def run_curate_stream(
                 "left_semi",
             )
             batch = record("embedding", batch)
+        # 3c) per-domain quota (when ids are urls): committed history
+        # counts first, the batch competes for the remaining slots under
+        # the batch operator's md5(url) rank — runs AFTER the dedup tiers
+        # (a duplicate must not consume quota) and before the span tier
+        # (which rewrites text but drops no docs), so the quota index is
+        # exactly the committed corpus summed per domain
+        quota_delta = None
+        if max_per_domain is not None:
+            from ..functions.urls import domain_quota_incremental
+
+            q_counts = load_rows(sp, dirs["quota"], before_seq=batch_id)
+            batch, quota_delta = domain_quota_incremental(
+                batch, q_counts, max_per_domain, url_col=id_col
+            )
+            batch = record("quota", batch)
         # 4) span tier: cut repeated spans vs the gram index (rewrites text;
         # fingerprints/bands above keyed on the as-ingested text)
         if span_l is not None:
@@ -321,6 +348,10 @@ def run_curate_stream(
             gram_delta.write.mode("overwrite").parquet(
                 f"{dirs['grams']}/seq={batch_id}"
             )
+        if quota_delta is not None:
+            quota_delta.coalesce(1).write.mode("overwrite").parquet(
+                f"{dirs['quota']}/seq={batch_id}"
+            )
         if stats:
             # stats row delta-first too: same idempotence as every index
             # partition (a replay overwrites byte-equal content)
@@ -337,7 +368,13 @@ def run_curate_stream(
             ok_predicate=f"{text_col} IS NOT NULL AND length({text_col}) > 0",
         )
         if compact_every is not None:
-            for d in (dirs["exact"], dirs["bands"], dirs["sigs"], dirs["emb"]):
+            for d in (
+                dirs["exact"],
+                dirs["bands"],
+                dirs["sigs"],
+                dirs["emb"],
+                dirs["quota"],
+            ):
                 if n_seq_partitions(d) >= compact_every:
                     compact_rows(sp, d)
             if n_seq_partitions(dirs["grams"]) >= compact_every:

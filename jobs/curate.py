@@ -102,6 +102,28 @@ def main(argv=None):
         help="repair text in place (mojibake round-trip, control-char strip, "
         "punctuation normalization) before the quality gates",
     )
+    ap.add_argument(
+        "--max-per-domain",
+        type=int,
+        default=None,
+        metavar="N",
+        help="cap documents per registered domain (needs a url column; "
+        "streaming mode: across the stream's whole committed history via "
+        "the persisted per-domain counts index)",
+    )
+    ap.add_argument(
+        "--nb-train",
+        default=None,
+        help="labeled parquet (text + 0/1 'label' column) to fit the "
+        "supervised NB doc-quality classifier; gates docs scoring below "
+        "--nb-threshold (batch mode)",
+    )
+    ap.add_argument(
+        "--nb-threshold",
+        type=float,
+        default=0.0,
+        help="NB doc-quality keep threshold (mean per-token LLR + prior)",
+    )
     ap.add_argument("--min-quality", type=float, default=None, help="drop docs below this quality_score")
     ap.add_argument("--repetition-gate", action="store_true", help="Gopher dup-token / top-bigram gate")
     ap.add_argument(
@@ -202,6 +224,7 @@ def main(argv=None):
                 ("--bench", bool(args.bench)),
                 ("--mixture", bool(args.mixture)),
                 ("--pack-budget", bool(args.pack_budget)),
+                ("--nb-train", bool(args.nb_train)),
             ]
             if on
         ]
@@ -240,6 +263,7 @@ def main(argv=None):
             ),
             embedding_dim=args.embedding_dim,
             embedding_n_probe=args.embedding_probes,
+            max_per_domain=args.max_per_domain,
             span_l=args.span_dedup,
             span_bloom=args.span_bloom,
             compact_every=args.compact_every,
@@ -351,6 +375,20 @@ def main(argv=None):
             "repetition_gate",
             df.filter(repetition_keep_fast(repetition_stats_fast(F.col(text_col)))),
         )
+    if args.nb_train:
+        from invoice_extraction_spark.operators.doc_quality import (
+            doc_nb_keep,
+            fit_doc_nb,
+        )
+
+        train = spark.read.parquet(args.nb_train)
+        nb_w, nb_p = fit_doc_nb(train, text_col=args.text_col)
+        df = record(
+            "nb_quality",
+            doc_nb_keep(
+                df, nb_w, nb_p, text_col=text_col, threshold=args.nb_threshold
+            ),
+        )
     if args.max_pseudo_ppl is not None:
         from invoice_extraction_spark.operators.lm_score import fit_unigram_lm, lm_quality
 
@@ -368,6 +406,13 @@ def main(argv=None):
         df = record(
             "decontaminate",
             decontaminate(df, bench, text_col=text_col, id_col=id_col, n=args.bench_ngram),
+        )
+    if args.max_per_domain is not None:
+        from invoice_extraction_spark.functions.urls import domain_quota_filter
+
+        df = record(
+            "domain_quota",
+            domain_quota_filter(df, args.max_per_domain, url_col="url"),
         )
     if args.mixture:
         from invoice_extraction_spark.operators.sampling import mixture_sample
