@@ -73,6 +73,7 @@ from ..functions.text_metrics import (
 )
 from ..operators.dedup import (
     band_index,
+    band_keys_from_sig,
     dedup_exact,
     dedup_incremental,
     dedup_incremental_sigverify,
@@ -329,16 +330,33 @@ def run_curate_stream(
             # as-ingested text (span rewrite happens after this tier, and
             # future copies of the same raw page arrive raw); span dedup
             # drops no docs, so the row sets are identical
-            band_index(
-                batch, text_col, id_col, num_bands, rows_per_band
-            ).write.mode("overwrite").parquet(f"{dirs['bands']}/seq={batch_id}")
             if near_verify:
-                # signatures of the same survivor rows (new_sigs covers the
-                # pre-cross-probe batch; semi-join down to what committed)
-                new_sigs.join(
+                # one MinHash pass feeds everything: new_sigs (computed
+                # for the probe) derives both deltas — bands are just
+                # md5 slices of the signature (band_index == sig +
+                # band_keys_from_sig by construction), so re-hashing the
+                # batch text a third time would buy nothing
+                surv_sigs = new_sigs.join(
                     batch.select(F.col(id_col).alias("id")), "id", "left_semi"
+                )
+                surv_sigs.select(
+                    "id",
+                    F.explode(
+                        band_keys_from_sig(
+                            F.col("sig"), num_bands, rows_per_band
+                        )
+                    ).alias("band"),
                 ).write.mode("overwrite").parquet(
+                    f"{dirs['bands']}/seq={batch_id}"
+                )
+                surv_sigs.write.mode("overwrite").parquet(
                     f"{dirs['sigs']}/seq={batch_id}"
+                )
+            else:
+                band_index(
+                    batch, text_col, id_col, num_bands, rows_per_band
+                ).write.mode("overwrite").parquet(
+                    f"{dirs['bands']}/seq={batch_id}"
                 )
         if emb_kept is not None:
             emb_kept.select("id", "v", "bucket", "is_primary").write.mode(
