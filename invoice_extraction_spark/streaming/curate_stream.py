@@ -177,12 +177,32 @@ def run_curate_stream(
     dirs = index_dirs(index_root)
 
     def _sink(batch_df, batch_id: int) -> None:
+        # The sink runs one Spark ACTION per index delta plus the commit
+        # (5+ for a full-tier batch); without caching, every action
+        # recomputes the whole gate+dedup chain from the source. Persist
+        # the expensive frontiers (MEMORY_AND_DISK — a micro-batch by
+        # definition fits the cluster or spills) and release them when the
+        # batch lands OR fails: the chain runs ONCE, the deltas read cache.
+        cached: list = []
+        try:
+            _sink_body(batch_df, batch_id, cached)
+        finally:
+            for f in cached:
+                f.unpersist()
+
+    def _sink_body(batch_df, batch_id: int, cached: list) -> None:
         run_id = f"curate-{batch_id}"
         if any(m["run_id"] == run_id for m in list_manifests(table_dir)):
             return  # replay of a fully-landed batch: deltas already on disk
         sp = batch_df.sparkSession
         batch = batch_df
         tier_counts: list[tuple[str, int]] = []
+        from pyspark import StorageLevel
+
+        def _persist(frame):
+            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(frame)
+            return frame
 
         def record(name: str, frame):
             if stats:
@@ -230,6 +250,10 @@ def run_curate_stream(
                 num_bands=num_bands,
                 rows_per_band=rows_per_band,
             )
+            # the frame new_sigs AND the cross-batch probe both read —
+            # caching it stops the bands/sigs delta writes from re-running
+            # the gates + exact + within-batch near chain
+            batch = _persist(batch)
             band_idx = load_rows(sp, dirs["bands"], before_seq=batch_id)
             if near_verify:
                 new_sigs = sig_index(
@@ -293,6 +317,9 @@ def run_curate_stream(
                 batch, q_counts, max_per_domain, url_col=id_col
             )
             batch = record("quota", batch)
+        # the final survivor frame: every delta below and the span tier
+        # derive from it
+        batch = _persist(batch)
         # 4) span tier: cut repeated spans vs the gram index (rewrites text;
         # fingerprints/bands above keyed on the as-ingested text)
         if span_l is not None:
@@ -317,6 +344,8 @@ def run_curate_stream(
                 span_fast,
                 bloom=bloom,
             )
+            # the rewritten frame feeds the exact delta AND the commit
+            out = _persist(out)
         else:
             out, gram_delta = batch, None
         # 5) deltas FIRST (module docstring), each idempotent per batch id,

@@ -6,10 +6,12 @@ growth, and retention — the evidence that the composed incremental chain
 keeps the per-drop cost O(drop + index probes) while three state families
 accumulate.
 
-Usage: python scripts/curate_stream_rehearsal.py [sf_dir] [n_drops] [near_verify]
+Usage: python scripts/curate_stream_rehearsal.py [sf_dir] [n_drops]
+[near_verify] [span_bloom]
 (near_verify: 1 = confirm cross-batch band collisions against the
-persisted signature index before dropping). Prints one JSON line; paste
-numbers into BENCH/BASELINE.md.
+persisted signature index before dropping; span_bloom: 1 = probe the
+span-gram index through the Bloom presence tier). Prints one JSON line;
+paste numbers into BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -46,6 +48,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     n_drops = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     near_verify = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    span_bloom = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
     base = "/tmp/curate_stream_rehearsal"
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/source"
@@ -70,6 +73,7 @@ def main() -> None:
         docs.filter(F.col("_drop") == i).drop("_drop").coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        load0 = round(os.getloadavg()[0], 2)
         t0 = time.monotonic()
         run_curate_stream(
             spark,
@@ -85,6 +89,7 @@ def main() -> None:
             near=True,
             near_verify=near_verify,
             span_l=20,
+            span_bloom=span_bloom,
             max_files_per_trigger=1,
         )
         wall = round(time.monotonic() - t0, 2)
@@ -92,6 +97,7 @@ def main() -> None:
             {
                 "drop": i,
                 "wall_s": wall,
+                "load_at_start": load0,
                 "exact_bytes": _dir_bytes(d["exact"]),
                 "bands_bytes": _dir_bytes(d["bands"]),
                 "grams_bytes": _dir_bytes(d["grams"]),
@@ -113,6 +119,7 @@ def main() -> None:
                     "near": True,
                     "near_verify": near_verify,
                     "span_l": 20,
+                    "span_bloom": span_bloom,
                 },
                 "drops": drops,
                 "docs_out": n_out,
