@@ -379,6 +379,7 @@ def remove_duplicate_spans_incremental(
     min_count: int = 2,
     fast: bool = True,
     bloom: "GramBloom | None" = None,
+    occ: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Span-dedup a NEW batch against a persisted ``span_gram_index``
     WITHOUT touching historical text. Returns ``(rewritten_batch,
@@ -386,6 +387,11 @@ def remove_duplicate_spans_incremental(
     next batch. Pass ``bloom = build_gram_bloom(index)`` to probe through
     the compact presence tier (output provably identical — see the
     verify-tier note inline) instead of joining the full index.
+
+    ``occ`` — a precomputed (optionally cached) ``gram_occurrences`` of
+    the batch: both returned frames derive from it, and a sink that
+    actions them separately (delta write, then commit) would otherwise
+    run the rolling-hash pass twice.
 
     Contract (same asymmetry as ``dedup_incremental``): history is
     immutable, so an indexed gram's canonical occurrence lives in history
@@ -399,7 +405,8 @@ def remove_duplicate_spans_incremental(
     bookkeeping guarantees that); replaying a batch against an index
     already containing its delta would cut its canonical occurrences too.
     """
-    occ = gram_occurrences(new_df, text_col, id_col, l, fast)
+    if occ is None:
+        occ = gram_occurrences(new_df, text_col, id_col, l, fast)
     # the probe only needs gram hashes + counts — shuffle hash keys, never
     # text. Threshold on the MERGED count so batched == concatenated.
     if bloom is not None:

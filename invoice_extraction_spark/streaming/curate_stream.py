@@ -286,15 +286,18 @@ def run_curate_stream(
             emb_hist = load_membership_index(
                 sp, dirs["emb"], before_seq=batch_id
             )
-            emb_kept = dedup_batch_memberships(
-                batch,
-                emb_hist,
-                vec_col=embedding_col,
-                id_col=id_col,
-                min_cos=embedding_min_cos,
-                n_planes=embedding_n_planes,
-                dim=embedding_dim,
-                n_probe=embedding_n_probe,
+            # feeds the emb delta AND the survivor semi-join below
+            emb_kept = _persist(
+                dedup_batch_memberships(
+                    batch,
+                    emb_hist,
+                    vec_col=embedding_col,
+                    id_col=id_col,
+                    min_cos=embedding_min_cos,
+                    n_planes=embedding_n_planes,
+                    dim=embedding_dim,
+                    n_probe=embedding_n_probe,
+                )
             )
             batch = batch.join(
                 emb_kept.select(F.col("id").alias(id_col)).distinct(),
@@ -334,6 +337,13 @@ def run_curate_stream(
                 from ..operators.span_dedup import build_gram_bloom
 
                 bloom = build_gram_bloom(gram_idx)
+            # the gram/delta frames and the rewrite all derive from the
+            # rolling-hash occurrences — cache that pass once
+            from ..operators.span_dedup import gram_occurrences
+
+            occ = _persist(
+                gram_occurrences(batch, text_col, id_col, span_l, span_fast)
+            )
             out, gram_delta = remove_duplicate_spans_incremental(
                 batch,
                 gram_idx,
@@ -343,6 +353,7 @@ def run_curate_stream(
                 span_min_count,
                 span_fast,
                 bloom=bloom,
+                occ=occ,
             )
             # the rewritten frame feeds the exact delta AND the commit
             out = _persist(out)

@@ -87,18 +87,28 @@ def run_dedup_stream(
             )
         else:
             kept = batch  # first batch: nothing to collide with
-        # survivors commit FIRST (atomic manifest). If we die between this
-        # and the index append, the replay guard above skips the batch and
-        # the missing index rows are re-derived below from the table itself
-        # on the next stream start (heal_index).
-        commit_append(
-            kept,
-            table_dir,
-            run_id=run_id,
-            ok_predicate=f"{text_col} IS NOT NULL",
-        )
-        kept_bands = band_index(kept, text_col, id_col, num_bands, rows_per_band)
-        kept_bands.write.mode("append").parquet(index_dir)
+        # both sink actions (commit, index append) derive from the dedup
+        # chain — cache the survivors for the batch's life
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # survivors commit FIRST (atomic manifest). If we die between
+            # this and the index append, the replay guard above skips the
+            # batch and the missing index rows are re-derived below from
+            # the table itself on the next stream start (heal_index).
+            commit_append(
+                kept,
+                table_dir,
+                run_id=run_id,
+                ok_predicate=f"{text_col} IS NOT NULL",
+            )
+            kept_bands = band_index(
+                kept, text_col, id_col, num_bands, rows_per_band
+            )
+            kept_bands.write.mode("append").parquet(index_dir)
+        finally:
+            kept.unpersist()
 
     (
         spark.readStream.schema(schema)

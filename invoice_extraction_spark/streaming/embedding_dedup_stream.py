@@ -236,24 +236,33 @@ def run_embedding_dedup_stream(
             return  # replay of a fully-landed batch: delta is already on disk
         sp = batch_df.sparkSession
         hist = load_membership_index(sp, index_dir, before_seq=batch_id)
+        # both sink actions (delta write, commit) derive from the
+        # membership kernel — cache it for the batch's life
+        from pyspark import StorageLevel
+
         kept = dedup_batch_memberships(
             batch_df, hist, vec_col, id_col, min_cos,
             n_planes, seed, dim, n_probe, max_bucket_size,
-        )
-        # Delta partition FIRST (module docstring): deterministic content
-        # keyed by batch id, so a replay overwrites itself.
-        kept.select("id", "v", "bucket", "is_primary").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/seq={batch_id}")
-        out = batch_df.join(
-            kept.select(F.col("id").alias(id_col)).distinct(), id_col, "left_semi"
-        )
-        commit_append(
-            out,
-            table_dir,
-            run_id=run_id,
-            ok_predicate=f"{vec_col} IS NOT NULL",
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # Delta partition FIRST (module docstring): deterministic
+            # content keyed by batch id, so a replay overwrites itself.
+            kept.select("id", "v", "bucket", "is_primary").write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/seq={batch_id}")
+            out = batch_df.join(
+                kept.select(F.col("id").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            commit_append(
+                out,
+                table_dir,
+                run_id=run_id,
+                ok_predicate=f"{vec_col} IS NOT NULL",
+            )
+        finally:
+            kept.unpersist()
         if compact_every is not None and _n_seq_partitions(index_dir) >= compact_every:
             compact_membership_index(sp, index_dir)
 
