@@ -95,6 +95,8 @@ _EXPORTS = {
     "doc_nb_score": ".doc_quality",
     "doc_nb_score_fast": ".doc_quality",
     "doc_nb_keep": ".doc_quality",
+    "save_doc_nb": ".doc_quality",
+    "load_doc_nb": ".doc_quality",
     # sampling
     "hash_quota_sample": ".sampling",
     "hash_split": ".sampling",

@@ -173,6 +173,31 @@ def doc_nb_score_fast(
     return f(F.col(text) if isinstance(text, str) else text)
 
 
+def save_doc_nb(
+    path: str, weights: list[tuple[str, float]], prior: float
+) -> None:
+    """Freeze a fitted model to a json file — the deployment artifact the
+    frozen-quantizer components (IVF centroids, PQ codebooks, BPE merges)
+    keep as literal modules; a json file lets operators retrain without a
+    code change. Written atomically (tmp + rename) so a reader never sees
+    a torn model."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"prior": prior, "weights": [[t, w] for t, w in weights]}, f)
+    os.replace(tmp, path)
+
+
+def load_doc_nb(path: str) -> tuple[list[tuple[str, float]], float]:
+    import json
+
+    with open(path) as f:
+        m = json.load(f)
+    return [(t, float(w)) for t, w in m["weights"]], float(m["prior"])
+
+
 def doc_nb_keep(
     df: DataFrame,
     weights: list[tuple[str, float]],

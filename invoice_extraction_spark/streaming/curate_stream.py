@@ -122,6 +122,8 @@ def run_curate_stream(
     fix_text: bool = False,
     min_quality: float | None = None,
     repetition_gate: bool = False,
+    nb_weights_path: str | None = None,
+    nb_threshold: float = 0.0,
     exact: bool = True,
     near: bool = False,
     near_verify: bool = True,
@@ -147,6 +149,12 @@ def run_curate_stream(
     config (``num_bands``/``rows_per_band``/``span_l``/``span_fast``)
     constant for the life of an index root.
 
+    ``nb_weights_path``: a frozen supervised doc-quality model
+    (``operators/doc_quality.save_doc_nb``) — joins the stateless gates
+    as a map-only Arrow scorer; keep docs scoring >= ``nb_threshold``.
+    The FIT stays batch-only (a per-batch refit would drift); the frozen
+    scorer is exactly as stream-safe as the heuristic gates.
+
     ``max_per_domain``: cap committed documents per registered domain
     across the stream's whole history (``id_col`` must hold urls); the
     per-domain committed counts persist as their own seq-partitioned
@@ -167,6 +175,12 @@ def run_curate_stream(
 
     if span_bloom and not span_fast:
         raise ValueError("span_bloom requires span_fast=True (int64 hash domain)")
+
+    nb_model = None
+    if nb_weights_path is not None:
+        from ..operators.doc_quality import load_doc_nb
+
+        nb_model = load_doc_nb(nb_weights_path)  # once per stream, not per batch
 
     schema = schema or T.StructType(
         [
@@ -221,7 +235,22 @@ def run_curate_stream(
             batch = batch.filter(
                 repetition_keep_fast(repetition_stats_fast(F.col(text_col)))
             )
-        if fix_text or min_quality is not None or repetition_gate:
+        if nb_model is not None:
+            from ..operators.doc_quality import doc_nb_keep
+
+            batch = doc_nb_keep(
+                batch,
+                nb_model[0],
+                nb_model[1],
+                text_col=text_col,
+                threshold=nb_threshold,
+            )
+        if (
+            fix_text
+            or min_quality is not None
+            or repetition_gate
+            or nb_model is not None
+        ):
             batch = record("gates", batch)
         # 2) exact tier: within-batch, then vs the fingerprint index
         if exact:

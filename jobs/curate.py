@@ -124,6 +124,19 @@ def main(argv=None):
         default=0.0,
         help="NB doc-quality keep threshold (mean per-token LLR + prior)",
     )
+    ap.add_argument(
+        "--nb-weights",
+        default=None,
+        metavar="PATH",
+        help="frozen NB doc-quality model (json from --nb-save): gate "
+        "without refitting — works in BOTH batch and streaming mode",
+    )
+    ap.add_argument(
+        "--nb-save",
+        default=None,
+        metavar="PATH",
+        help="freeze the --nb-train fit to this json for later --nb-weights runs",
+    )
     ap.add_argument("--min-quality", type=float, default=None, help="drop docs below this quality_score")
     ap.add_argument("--repetition-gate", action="store_true", help="Gopher dup-token / top-bigram gate")
     ap.add_argument(
@@ -251,6 +264,8 @@ def main(argv=None):
             fix_text=args.fix_text,
             min_quality=args.min_quality,
             repetition_gate=args.repetition_gate,
+            nb_weights_path=args.nb_weights,
+            nb_threshold=args.nb_threshold,
             exact=args.exact_dedup,
             near=args.near_dedup,
             near_verify=args.near_verify,
@@ -375,14 +390,21 @@ def main(argv=None):
             "repetition_gate",
             df.filter(repetition_keep_fast(repetition_stats_fast(F.col(text_col)))),
         )
-    if args.nb_train:
+    if args.nb_train or args.nb_weights:
         from invoice_extraction_spark.operators.doc_quality import (
             doc_nb_keep,
             fit_doc_nb,
+            load_doc_nb,
+            save_doc_nb,
         )
 
-        train = spark.read.parquet(args.nb_train)
-        nb_w, nb_p = fit_doc_nb(train, text_col=args.text_col)
+        if args.nb_weights:
+            nb_w, nb_p = load_doc_nb(args.nb_weights)
+        else:
+            train = spark.read.parquet(args.nb_train)
+            nb_w, nb_p = fit_doc_nb(train, text_col=args.text_col)
+            if args.nb_save:
+                save_doc_nb(args.nb_save, nb_w, nb_p)
         df = record(
             "nb_quality",
             doc_nb_keep(

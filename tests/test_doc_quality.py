@@ -201,6 +201,59 @@ def test_batch_cli_nb_gate(spark, tmp_path, fitted):
         ])
 
 
+def test_frozen_model_roundtrip_and_streaming_gate(spark, tmp_path, fitted):
+    """save_doc_nb/load_doc_nb round-trip exactly; a frozen model gates a
+    curation STREAM as a stateless map-only stage (--nb-weights), and the
+    batch CLI can freeze a fit with --nb-save then reuse it."""
+    from invoice_extraction_spark.operators.doc_quality import (
+        load_doc_nb,
+        save_doc_nb,
+    )
+    from invoice_extraction_spark.sources.atomic import read_table
+    from invoice_extraction_spark.streaming.curate_stream import (
+        run_curate_stream,
+    )
+
+    df, (weights, prior) = fitted
+    model = str(tmp_path / "nb.json")
+    save_doc_nb(model, weights, prior)
+    assert load_doc_nb(model) == (weights, prior)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [("u1", HELD_GOOD), ("u2", HELD_JUNK)], columns=["url", "text"]
+        )
+    ).coalesce(1).write.parquet(src)
+    tbl = str(tmp_path / "tbl")
+    run_curate_stream(
+        spark, src, tbl, str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+        nb_weights_path=model, exact=False,
+    )
+    assert [r["url"] for r in read_table(spark, tbl).collect()] == ["u1"]
+
+    # batch CLI: freeze with --nb-save, reuse with --nb-weights
+    from jobs.curate import main
+
+    train = str(tmp_path / "train")
+    df.write.parquet(train)
+    model2 = str(tmp_path / "nb2.json")
+    main([
+        "--source", src, "--table", str(tmp_path / "t2"),
+        "--id-col", "url",
+        "--nb-train", train, "--nb-save", model2,
+    ])
+    assert load_doc_nb(model2) == (weights, prior)
+    main([
+        "--source", src, "--table", str(tmp_path / "t3"),
+        "--id-col", "url",
+        "--nb-weights", model2,
+    ])
+    assert [
+        r["url"] for r in read_table(spark, str(tmp_path / "t3")).collect()
+    ] == ["u1"]
+
+
 def test_vocab_bounds_and_oov(spark, fitted):
     df, (weights, prior) = fitted
     assert len(weights) <= 64
