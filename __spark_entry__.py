@@ -275,18 +275,38 @@ def _q_repetition_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _q_repetition_filter_counts(spark, sf_dir):
-    """The repetition KEEP gate applied corpus-wide: keep/drop counts per
-    language (the filter a 100 TB pretraining pipeline actually runs)."""
-    d = _par(_t(spark, sf_dir, "documents"))
+def _q_nb_quality_scores(spark, sf_dir):
+    """Supervised doc-quality NB scoring (operators/doc_quality.py) with
+    the FROZEN distilled model (functions/doc_nb_model.py — trained once
+    by scripts/freeze_doc_nb.py with labels distilled from the heuristic
+    quality gate, the CCNet train-against-a-trusted-source shape): per-
+    source rollup of docs, keep decisions (score >= 0), and mean score.
+    Frozen-literal deployment (the IVF/PQ/BPE discipline) — the oracle
+    checks the SCORING pipeline, not fit drift. Column/map-literal
+    reference form; the Arrow fast path is equality-asserted in
+    test_doc_quality. (The synthetic corpus has a 31-word vocabulary, so
+    the frozen lexicon is small — the separation story lives in
+    test_doc_quality's labeled corpus; THIS row checks parity.)"""
+    from invoice_extraction_spark.functions.doc_nb_model import (
+        PRIOR,
+        WEIGHTS,
+    )
+    from invoice_extraction_spark.operators.doc_quality import doc_nb_score
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "source", doc_nb_score(F.col("text"), WEIGHTS, PRIOR).alias("score")
+    )
     return (
-        d.select(
-            "lang",
-            tm.repetition_keep_fast(tm.repetition_stats_fast("text")).alias("keep"),
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("score") >= 0).cast("int"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.round(F.avg("score"), 4).alias("avg_nb_score"),
         )
-        .groupBy("lang", "keep")
-        .agg(F.count("*").alias("n"))
-        .orderBy("lang", "keep")
+        .orderBy("source")
     )
 
 
@@ -846,7 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "quota_sample": _q_quota_sample,
         "repetition_scores": _q_repetition_scores,
-        "repetition_filter_counts": _q_repetition_filter_counts,
+        "nb_quality_scores": _q_nb_quality_scores,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_pairs": _q_lsh_pairs,
@@ -898,6 +918,19 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,1)
 """
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it','for','on')"
+
+# frozen doc-quality NB model (scripts/freeze_doc_nb.py) — the SAME
+# constants feed the Spark query and its DuckDB twin
+from invoice_extraction_spark.functions.doc_nb_model import (  # noqa: E402
+    PRIOR as _NB_PRIOR,
+)
+from invoice_extraction_spark.functions.doc_nb_model import (  # noqa: E402
+    WEIGHTS as _NB_WEIGHTS,
+)
+
+_NB_VALUES = ", ".join(
+    "('{}', {!r})".format(t.replace("'", "''"), w) for t, w in _NB_WEIGHTS
+)
 
 
 def _fuzzy_seller_sql() -> str:
@@ -1359,20 +1392,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mb * 1.0 / greatest(n - 1, 1), 4) AS top_bigram_frac
             FROM m ORDER BY doc_id
         """,
-        "repetition_filter_counts": """
-            WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-            m AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS d,
-                  (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(
-                      list_transform(range(1, greatest(len(toks)-1, 1) + 1),
-                                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS u(x)
-                      GROUP BY x)) AS mb
-                  FROM t),
-            k AS (SELECT lang,
-                  (ROUND(1.0 - d * 1.0 / n, 4) <= 0.6
-                   AND (mb < 2 OR ROUND(mb * 1.0 / greatest(n - 1, 1), 4) <= 0.08)) AS keep
-                  FROM m)
-            SELECT lang, keep, COUNT(*) AS n FROM k GROUP BY lang, keep
-            ORDER BY lang, keep
+        "nb_quality_scores": f"""
+            WITH w(t, wt) AS (VALUES {_NB_VALUES}),
+            toks AS (SELECT doc_id, source,
+                     unnest(string_split(lower(text), ' ')) AS t
+                     FROM documents),
+            tk AS (SELECT doc_id, source, t FROM toks WHERE t <> ''),
+            per AS (SELECT tk.doc_id,
+                    SUM(COALESCE(w.wt, 0.0)) AS total, COUNT(*) AS n
+                    FROM tk LEFT JOIN w ON tk.t = w.t GROUP BY tk.doc_id),
+            s AS (SELECT d.source,
+                  ROUND(COALESCE(p.total, 0.0)
+                        / GREATEST(COALESCE(p.n, 0), 1) + {_NB_PRIOR!r}, 4)
+                      AS score
+                  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_keep,
+                   ROUND(AVG(score), 4) AS avg_nb_score
+            FROM s GROUP BY source ORDER BY source
         """,
         "exact_dedup": """
             WITH g AS (SELECT md5(text) AS h, COUNT(*) AS n_dups FROM documents GROUP BY 1)

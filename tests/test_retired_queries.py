@@ -100,3 +100,39 @@ def test_lsh_topk_bucket_parity(spark, con):
     assert_parity(
         got, con, LSH_TOPK_SQL_TMPL.format(bucket=_lsh_bucket_sql("embedding::DOUBLE[]"))
     )
+
+
+REPETITION_FILTER_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS d,
+      (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(
+          list_transform(range(1, greatest(len(toks)-1, 1) + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1]))) AS u(x)
+          GROUP BY x)) AS mb
+      FROM t),
+k AS (SELECT lang,
+      (ROUND(1.0 - d * 1.0 / n, 4) <= 0.6
+       AND (mb < 2 OR ROUND(mb * 1.0 / greatest(n - 1, 1), 4) <= 0.08)) AS keep
+      FROM m)
+SELECT lang, keep, COUNT(*) AS n FROM k GROUP BY lang, keep
+ORDER BY lang, keep
+"""
+
+
+def test_repetition_filter_counts_parity(spark, con):
+    """Slot given to nb_quality_scores in round 5; the corpus-wide
+    repetition KEEP gate (repetition_scores keeps the family's driver
+    row) retains its DuckDB hash parity here."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        d.select(
+            "lang",
+            tm.repetition_keep_fast(tm.repetition_stats_fast("text")).alias(
+                "keep"
+            ),
+        )
+        .groupBy("lang", "keep")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "keep")
+    )
+    assert_parity(got, con, REPETITION_FILTER_SQL)
