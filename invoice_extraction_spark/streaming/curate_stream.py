@@ -366,13 +366,10 @@ def run_curate_stream(
                 from ..operators.span_dedup import build_gram_bloom
 
                 bloom = build_gram_bloom(gram_idx)
-            # the gram/delta frames and the rewrite all derive from the
-            # rolling-hash occurrences — cache that pass once
-            from ..operators.span_dedup import gram_occurrences
-
-            occ = _persist(
-                gram_occurrences(batch, text_col, id_col, span_l, span_fast)
-            )
+            # (the rolling-hash occurrences are deliberately NOT cached:
+            # measured at sf1 the O(tokens) cache write costs more than
+            # recomputing the kernel over the cached doc rows — see
+            # span_dedup_stream.py's sink note)
             out, gram_delta = remove_duplicate_spans_incremental(
                 batch,
                 gram_idx,
@@ -382,7 +379,6 @@ def run_curate_stream(
                 span_min_count,
                 span_fast,
                 bloom=bloom,
-                occ=occ,
             )
             # the rewritten frame feeds the exact delta AND the commit
             out = _persist(out)

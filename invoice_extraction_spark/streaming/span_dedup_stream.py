@@ -139,31 +139,26 @@ def run_span_dedup_stream(
             from ..operators.span_dedup import build_gram_bloom
 
             bloom = build_gram_bloom(index)
-        # both sink actions (delta write, commit) derive from the gram
-        # occurrences — cache the rolling-hash pass for the batch's life
-        from pyspark import StorageLevel
-
-        from ..operators.span_dedup import gram_occurrences
-
-        occ = gram_occurrences(batch_df, text_col, id_col, l, fast).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # NOTE: deliberately NO caching of the gram occurrences here —
+        # measured at sf1, persisting the O(tokens) occurrence frame costs
+        # MORE than recomputing the rolling-hash kernel for the second
+        # action (cache materialization breaks the kernel -> partial-agg
+        # pipelining and serializes ~tokens rows; the kernel itself is
+        # ~1 s/drop). Walls: 6.4-7.1 s/drop uncached vs 16-18 s cached
+        # (BENCH/span_stream_sf1_r5.json) — the curate stream's caching
+        # win comes from its DOC-ROW frontiers, not token-level frames.
+        out, delta = remove_duplicate_spans_incremental(
+            batch_df, index, text_col, id_col, l, min_count, fast, bloom=bloom
         )
-        try:
-            out, delta = remove_duplicate_spans_incremental(
-                batch_df, index, text_col, id_col, l, min_count, fast,
-                bloom=bloom, occ=occ,
-            )
-            # Delta partition FIRST (see module docstring): deterministic
-            # content keyed by batch id, so a replay overwrites itself.
-            delta.write.mode("overwrite").parquet(f"{index_dir}/seq={batch_id}")
-            commit_append(
-                out,
-                table_dir,
-                run_id=run_id,
-                ok_predicate=f"{text_col} IS NOT NULL",
-            )
-        finally:
-            occ.unpersist()
+        # Delta partition FIRST (see module docstring): deterministic
+        # content keyed by batch id, so a replay overwrites itself.
+        delta.write.mode("overwrite").parquet(f"{index_dir}/seq={batch_id}")
+        commit_append(
+            out,
+            table_dir,
+            run_id=run_id,
+            ok_predicate=f"{text_col} IS NOT NULL",
+        )
         if compact_every is not None and _n_seq_partitions(index_dir) >= compact_every:
             compact_span_index(sp, index_dir)
 
