@@ -282,20 +282,23 @@ def _q_nb_quality_scores(spark, sf_dir):
     quality gate, the CCNet train-against-a-trusted-source shape): per-
     source rollup of docs, keep decisions (score >= 0), and mean score.
     Frozen-literal deployment (the IVF/PQ/BPE discipline) — the oracle
-    checks the SCORING pipeline, not fit drift. Column/map-literal
-    reference form; the Arrow fast path is equality-asserted in
-    test_doc_quality. (The synthetic corpus has a 31-word vocabulary, so
+    checks the SCORING pipeline, not fit drift. Runs the Arrow fast path
+    (the production scorer); the Column/map-literal form is the oracle
+    reference, equality-asserted in test_doc_quality. (The synthetic corpus has a 31-word vocabulary, so
     the frozen lexicon is small — the separation story lives in
     test_doc_quality's labeled corpus; THIS row checks parity.)"""
     from invoice_extraction_spark.functions.doc_nb_model import (
         PRIOR,
         WEIGHTS,
     )
-    from invoice_extraction_spark.operators.doc_quality import doc_nb_score
+    from invoice_extraction_spark.operators.doc_quality import (
+        doc_nb_score_fast,
+    )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     s = d.select(
-        "source", doc_nb_score(F.col("text"), WEIGHTS, PRIOR).alias("score")
+        "source",
+        doc_nb_score_fast(F.col("text"), WEIGHTS, PRIOR).alias("score"),
     )
     return (
         s.groupBy("source")

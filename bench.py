@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "user_sessions",
     "doc_stats_by_lang",
     "span_dedup_stats",
+    "nb_quality_scores",
 ]
 
 CORPUS_DIR = "/tmp/bench_corpus.parquet"
