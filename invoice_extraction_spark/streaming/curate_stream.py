@@ -5,7 +5,8 @@ incremental dedup machinery behind ONE atomic commit per batch.
 Per micro-batch of new documents:
 
 1. stateless gates first (map-only, no cross-batch state): optional text
-   repair, quality-score floor, Gopher repetition gate — junk never
+   repair, quality-score floor, Gopher repetition gate, and the frozen
+   supervised NB doc-quality scorer (``nb_weights_path``) — junk never
    reaches a shuffle or an index;
 2. exact dedup — within-batch ``dedup_exact``, then an anti-join of the
    batch's text fingerprints against the persisted fingerprint index of
