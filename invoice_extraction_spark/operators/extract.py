@@ -310,6 +310,21 @@ def extract_pages(
     if "lang" not in pruned.columns:
         pruned = pruned.withColumn("lang", F.lit(None).cast("string"))
     if num_partitions:
-        pruned = salted_repartition(pruned, num_partitions, salt_seed)
+        # Cost-aware shuffle (guide §2.4 "remove shuffles outright"): the
+        # salted repartition exists to (a) guarantee kernel parallelism and
+        # (b) decorrelate tasks from host-clustered input files. When the
+        # scan already yields >= num_partitions row-bearing byte-range
+        # splits (checked against parquet ROW GROUPS, not just splits),
+        # both goals are met by the scan itself — byte-balanced splits give
+        # per-task balance regardless of host adjacency — and the full-
+        # payload shuffle is pure cost (measured at sf1: ~2-3 s of a 13 s
+        # extraction wall moving ~1.2 GB of HTML that was already spread).
+        # Unknown inputs (in-memory frames, non-parquet) keep the shuffle:
+        # the skew contract stays the default, the skip needs proof.
+        from ..plans.parallelism import effective_scan_parallelism
+
+        eff = effective_scan_parallelism(pruned, num_partitions)
+        if eff is None or eff < num_partitions:
+            pruned = salted_repartition(pruned, num_partitions, salt_seed)
     raw = pruned.mapInPandas(_extract_batches, schema=EXTRACT_RAW_SCHEMA)
     return score_consensus(score_confidence(validate_fields(raw)))

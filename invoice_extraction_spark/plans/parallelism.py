@@ -33,6 +33,47 @@ from pyspark.sql import DataFrame
 LIGHT_INPUT_BYTES = 4 << 20
 
 
+def effective_scan_parallelism(df: DataFrame, cap: int) -> int | None:
+    """How many tasks can actually receive ROWS from this frame's file scan,
+    or None when unknowable (in-memory frames, remote/non-parquet files) —
+    unknown means 'fall back to the plan's partition count', never 'assume
+    parallel'.
+
+    Splits alone overstate parallelism for parquet: a task only receives the
+    rows of row groups whose MIDPOINT falls inside its byte range, so a
+    single-row-group file scans as ONE row-bearing task no matter how many
+    byte-range splits cover it (the reason the round-robin guard exists).
+    Effective parallelism is therefore min(splits, total row groups).
+
+    ``cap``: once we have seen >= cap files there is no need to read any
+    footers — at production file counts (thousands) the scan is trivially
+    parallel and this returns early with the file count (footer reads are
+    driver-side work; never do O(files) of them at scale).
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= cap:
+        return len(files)
+    import pyarrow.parquet as pq
+
+    total_rgs = 0
+    for f in files:
+        path = f[5:] if f.startswith("file:") else f
+        if not path.endswith(".parquet") or not os.path.exists(path):
+            return None
+        try:
+            total_rgs += pq.ParquetFile(path).num_row_groups
+        except Exception:
+            return None
+        if total_rgs >= cap:
+            return total_rgs
+    return min(df.rdd.getNumPartitions(), total_rgs)
+
+
 def _input_bytes(df: DataFrame) -> int | None:
     """Total bytes behind the frame's file scan, or None when unknowable
     (in-memory frames, remote filesystems) — unknown means 'apply the
@@ -79,6 +120,13 @@ def ensure_min_parallelism(
         nbytes = _input_bytes(df)
         if nbytes is not None and nbytes < LIGHT_INPUT_BYTES:
             return df
-    if df.rdd.getNumPartitions() >= target:
+    # Row-group-aware check: with the session's scan-split floor
+    # (spark.sql.files.minPartitionNum) plan partitions overstate real row
+    # distribution for few-row-group files — splits without a row-group
+    # midpoint receive zero rows, and the kernel would still run 1-task.
+    eff = effective_scan_parallelism(df, target)
+    if eff is None:
+        eff = df.rdd.getNumPartitions()
+    if eff >= target:
         return df
     return df.repartition(target)

@@ -9,6 +9,7 @@ skew-join splitting), Arrow batches sized down because HTML payloads are large
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import zipfile
 
@@ -44,6 +45,9 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:  # keep the scan floor consistent with the session's real width
+        cpus = int(m.group(1))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     b = (
         SparkSession.builder.appName(app_name)
@@ -58,6 +62,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Scan-parallelism floor (guide §6 input split size): without it a
+        # medium parquet table (e.g. 132 MB lineitem at sf1) scans as 2 tasks
+        # on 32 cores because splits default to maxPartitionBytes. The floor
+        # is scale-ADAPTIVE (2-3x total cores is the standard task sizing):
+        # at production file counts splits already exceed it -> literal
+        # no-op; locally it turns starved scans into full-width ones.
+        # NOTE row groups still bound real row distribution — the kernel
+        # guards (plans/parallelism.py) check row groups, not splits.
+        .config("spark.sql.files.minPartitionNum", str(cpus * 2))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -113,3 +113,64 @@ def test_lsh_pairs_unchanged(spark, one_part_docs):
         for r in dd.lsh_candidate_pairs(one_part_docs.repartition(16)).collect()
     )
     assert before == after
+
+
+def test_effective_scan_parallelism_counts_row_groups(spark, one_part_docs, tmp_path_factory):
+    """Round 6: with the session scan-split floor, SPLIT count overstates
+    row distribution for few-row-group files — the effective check must
+    report row groups, and the guard must still repartition a
+    single-row-group file even when its plan shows many splits."""
+    from invoice_extraction_spark.plans.parallelism import (
+        effective_scan_parallelism,
+    )
+
+    eff = effective_scan_parallelism(one_part_docs, 8)
+    assert eff == 1  # one file, one row group -> one row-bearing task
+    # in-memory frames are unknowable -> None (callers fall back)
+    mem = spark.createDataFrame([(1,)], ["x"])
+    assert effective_scan_parallelism(mem, 8) is None
+    # many files short-circuit without footer reads
+    p = str(tmp_path_factory.mktemp("many") / "many.parquet")
+    spark.range(1000).repartition(10).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert effective_scan_parallelism(df, 4) >= 4
+
+
+def test_extract_skips_salted_shuffle_when_scan_already_parallel(
+    spark, tmp_path_factory
+):
+    """Round 6 (guide §2.4): extract_pages must NOT pay the full-payload
+    salted shuffle when the file scan already yields >= num_partitions
+    row-bearing splits — and must keep it for under-partitioned or
+    in-memory inputs (the skew contract stays the default)."""
+    import pandas as pd
+
+    from invoice_extraction_spark.corpus import pages_pdf
+    from invoice_extraction_spark.operators.extract import extract_pages
+    from invoice_extraction_spark.plans.explain import count_exchanges
+
+    pdf = pages_pdf(64)
+    p = str(tmp_path_factory.mktemp("exsk") / "pages.parquet")
+    spark.createDataFrame(pdf).repartition(8).write.parquet(p)
+    src = spark.read.parquet(p)
+    # 8 files / 8 row groups >= 4 requested -> shuffle skipped
+    assert count_exchanges(extract_pages(src, num_partitions=4)) == 0
+    # more partitions than the scan can give -> shuffle kept
+    assert count_exchanges(extract_pages(src, num_partitions=64)) == 1
+    # in-memory input (unknowable) -> shuffle kept
+    mem = spark.createDataFrame(pdf)
+    assert count_exchanges(extract_pages(mem, num_partitions=4)) == 1
+    # results identical either way (row-wise kernel; order-independent)
+    a = sorted(
+        (r["url"], r["n_fields_found"])
+        for r in extract_pages(src, num_partitions=4).select(
+            "url", "n_fields_found"
+        ).collect()
+    )
+    b = sorted(
+        (r["url"], r["n_fields_found"])
+        for r in extract_pages(mem, num_partitions=4).select(
+            "url", "n_fields_found"
+        ).collect()
+    )
+    assert a == b
