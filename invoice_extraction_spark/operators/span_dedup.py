@@ -588,7 +588,69 @@ def span_dedup_stats(
     fast: bool = True,
 ) -> DataFrame:
     """Observability ('no silent caps'): duplicated grams, removable
-    occurrences, and docs touched — log next to any rewrite."""
+    occurrences, and docs touched — log next to any rewrite.
+
+    Round 6 (guide §2.4 shared-pass rewrite): the r5 form ran the
+    O(tokens) gram kernel THREE times (once under hot_grams' groupBy, once
+    per side of the occ-join-hot in the interval count) and paid two
+    SortAggregates for the string canonical key. For NUMERIC ids the same
+    numbers fall out of ONE kernel pass + one (gh, id) aggregation,
+    because the canonical occurrence is the min (id, pos):
+
+    - each hot gram has exactly one canonical occurrence, so
+      ``n_cut_intervals = n_hot_occurrences - n_hot_grams``;
+    - the canonical DOC of a gram is simply ``min(id)`` (id-first
+      ordering), so a doc is touched iff it holds an occurrence of a hot
+      gram and either it is not the min-id doc, or it holds >= 2
+      occurrences (one of which — its min pos — is the canonical).
+
+    The (gh, id) pre-aggregation subtree feeds both the per-gram rollup
+    and the touched-docs join, so AQE's exchange reuse runs the Arrow
+    kernel once; every aggregate is numeric (HashAggregate, no sorts).
+    Equality with the r5 form is asserted in test_span_dedup. STRING ids
+    keep the r5 form: their ckey ordering is id-string-first only when no
+    id character sorts below ':' — min(id) is not provably the canonical
+    doc there, and correctness beats the pass count.
+    """
+    numeric_id = isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if numeric_id:
+        occ = gram_occurrences(df, text_col, id_col, l, fast)
+        per_doc = occ.groupBy("gh", "id").agg(F.count("*").alias("n_gd"))
+        hot = (
+            per_doc.groupBy("gh")
+            .agg(F.sum("n_gd").alias("n_occ"), F.min("id").alias("canon_id"))
+            .filter(F.col("n_occ") >= min_count)
+        )
+        # ONE reference to hot and ONE aggregation: per_doc is the only
+        # twice-referenced subtree, and both references are column-identical
+        # (gh, id, n_gd), so AQE's exchange reuse runs the kernel once.
+        # Over the joined hot-gram rows: sum(n_gd) telescopes to the hot
+        # occurrence total, countDistinct(gh) is the hot gram count, and a
+        # doc is touched iff it is not the gram's min-id doc or it holds a
+        # within-doc repeat.
+        j = per_doc.join(hot, "gh")
+        touched_id = F.when(
+            (F.col("id") != F.col("canon_id")) | (F.col("n_gd") >= 2),
+            F.col("id"),
+        )
+        a = j.agg(
+            F.countDistinct("gh").alias("n_hot_grams"),
+            F.coalesce(F.sum("n_gd"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hot_occurrences"),
+            F.countDistinct(touched_id).alias("n_docs_touched"),
+        )
+        return a.select(
+            "n_hot_grams",
+            "n_hot_occurrences",
+            (F.col("n_hot_occurrences") - F.col("n_hot_grams")).alias(
+                "n_cut_intervals"
+            ),
+            "n_docs_touched",
+        )
     occ = gram_occurrences(df, text_col, id_col, l, fast)
     hot = hot_grams(occ, min_count)
     iv = duplicate_span_intervals(df, text_col, id_col, l, min_count, hot=hot, occ=occ)

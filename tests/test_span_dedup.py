@@ -339,3 +339,43 @@ def test_hot_grams_is_persistable_index(spark, docs):
         .filter("n >= 2")
         .collect()
     }
+
+
+def test_stats_one_pass_matches_legacy_form(spark, docs):
+    """Round 6: the numeric-id stats path derives all four numbers from ONE
+    gram-kernel pass ((gh, id) pre-aggregation; cut intervals = hot
+    occurrences minus hot grams; canonical doc = min id). It must equal the
+    legacy three-pass form — exercised here via string ids, which keep the
+    r5 implementation — and its physical plan must contain exactly one
+    MapInPandas (the reused kernel) for file-backed input."""
+    num = span_dedup_stats(docs, l=L).collect()[0].asDict()
+    as_str = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
+    legacy = span_dedup_stats(as_str, l=L).collect()[0].asDict()
+    assert num == legacy, (num, legacy)
+    # also at min_count=3: only the 3 SHARED grams stay hot (2 occ each is
+    # below 3? no — shared grams occur twice; within-doc gram twice) ->
+    # nothing hot; both forms must agree on the all-zero row too
+    num3 = span_dedup_stats(docs, l=L, min_count=3).collect()[0].asDict()
+    legacy3 = span_dedup_stats(as_str, l=L, min_count=3).collect()[0].asDict()
+    assert num3 == legacy3 == {
+        "n_hot_grams": 0,
+        "n_hot_occurrences": 0,
+        "n_cut_intervals": 0,
+        "n_docs_touched": 0,
+    }
+
+
+def test_stats_one_pass_runs_kernel_once(spark, tmp_path_factory):
+    """The (gh, id) pre-aggregation exchange must be AQE-reused so the gram
+    kernel executes once: the FINAL adaptive plan (the section before
+    '== Initial Plan ==') may contain only one MapInPandas, with the second
+    per_doc reference satisfied by a ReusedExchange."""
+    p = str(tmp_path_factory.mktemp("sdsp") / "docs.parquet")
+    spark.createDataFrame(DOCS, ["doc_id", "text"]).write.parquet(p)
+    d = spark.read.parquet(p)
+    q = span_dedup_stats(d, l=L)
+    q.collect()  # AQE finalizes the plan at execution
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, final[:3000]
+    assert "ReusedExchange" in final, final[:3000]
