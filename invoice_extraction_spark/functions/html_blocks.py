@@ -118,12 +118,15 @@ class Block:
         else:
             self.tag_path = "/".join(e[0] for e in self._stack)
         self.n_chars = len(self.text)
-        self.n_tokens = len(self.text.split(" "))
-        link_raw = "".join(self._link_chunks)
-        lr = " ".join(link_raw.split())
-        self.link_chars = len(lr) if lr.isascii() else len(
-            unicodedata.normalize("NFC", lr)
-        )
+        # split(" ") on collapsed text yields count(" ")+1 pieces — count
+        # avoids materializing the token list in the hottest method
+        self.n_tokens = self.text.count(" ") + 1
+        if self._link_chunks:
+            link_raw = "".join(self._link_chunks)
+            lr = " ".join(link_raw.split())
+            self.link_chars = len(lr) if lr.isascii() else len(
+                unicodedata.normalize("NFC", lr)
+            )
         self.link_density = self.link_chars / self.n_chars
         self.text_density = self.n_chars / (1.0 + self.n_tags)
         self.is_content = (
@@ -348,12 +351,16 @@ def _parse_fast(html: str) -> list[Block]:
         if m is None:
             break
         pos = m.end()
-        end_tag, start_tag, attr_str, self_close = m.group(1, 2, 3, 4)
-        if end_tag is not None:
-            tag = end_tag.lower()
+        # lastindex-dispatch: exactly one alternative matched — 1 = end tag,
+        # 4 = start tag (its optional '/' group always participates), None =
+        # comment/doctype/PI. One group fetch instead of four per token.
+        li = m.lastindex
+        if li == 1:
+            tag = m.group(1).lower()
             if not tag_flags.get(tag, no_flags)[4]:  # void close: dropped
                 unwind(tag)
-        elif start_tag is not None:
+        elif li is not None:
+            start_tag, attr_str, self_close = m.group(2, 3, 4)
             tag = start_tag.lower()
             is_block, is_skip, is_head, is_boiler_tag, is_void = tag_flags.get(
                 tag, no_flags

@@ -288,26 +288,29 @@ def _content_runs(stream: bytes) -> list[tuple[float, float, str]]:
     strings: list[str] = []  # pending string operands (for Tj / ')
     tj_parts: list[str] | None = None  # non-None inside [ ... ] TJ array
     for m in _TOKEN_RE.finditer(stream):
-        lit, hx, num, arr, op = m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
-        if lit is not None or hx is not None:
-            s = _decode_literal(lit) if lit is not None else _decode_hex(hx)
+        # lastindex-dispatch (round 6): exactly one alternative matches per
+        # token — 1 literal / 2 hex / 3 number / 4 array delim / 5 operator;
+        # names have no group (None). One group fetch instead of five.
+        li = m.lastindex
+        if li == 1 or li == 2:
+            s = _decode_literal(m.group(1)) if li == 1 else _decode_hex(m.group(2))
             if tj_parts is not None:
                 tj_parts.append(s)
             else:
                 strings.append(s)
-        elif num is not None:
-            v = float(num)
+        elif li == 3:
+            v = float(m.group(3))
             if tj_parts is not None:
                 if v <= TJ_SPACE_THRESHOLD:
                     tj_parts.append(" ")
             else:
                 stack.append(v)
-        elif arr == b"[":
-            tj_parts = []
-        elif arr == b"]":
-            pass  # TJ operator consumes tj_parts
-        elif op is not None:
-            o = op.decode("latin-1")
+        elif li == 4:
+            if m.group(4) == b"[":
+                tj_parts = []
+            # b"]": TJ operator consumes tj_parts
+        elif li == 5:
+            o = m.group(5).decode("latin-1")
             if o == "BT":
                 x = y = 0.0
             elif o in ("Td", "TD") and len(stack) >= 2:

@@ -79,23 +79,52 @@ def minhash_signature(text_col, num_hashes: int = 8, shingle_n: int = 3):
     )
 
 
+# Per-worker memo of shingle -> [md5('0:'||s).digest(), md5('1:'||s)...].
+# MinHash is a pure function of the shingle, and web shingles are Zipfian
+# (boilerplate phrases repeat across most documents of a host/template), so
+# a worker that has hashed a shingle once never needs to again — guide §4.5
+# heavyweight-state-per-task generalized to memoized pure work. Worker reuse
+# (spark.python.worker.reuse, default on) keeps the dict across tasks; the
+# hard cap bounds memory (~50 MB/worker at 2^17 entries) with a clear-all
+# eviction — cheap, amortized, and always correct (entries are pure).
+_MH_CACHE: dict[str, list[bytes]] = {}
+_MH_CACHE_CAP = 1 << 17
+
+
 def _minhash_kernel(texts: pd.Series, num_hashes: int, shingle_n: int) -> pd.Series:
     """Arrow-batch MinHash with EXACTLY the semantics of minhash_signature
     (same shingling, same md5('j:'||s) family, same lexicographic min) —
     the fast path. Spark's higher-order-function lambdas are interpreted per
     element (no codegen), which made the Column version ~20x slower; hashlib
-    inside a pandas UDF is the sanctioned vectorized alternative."""
+    inside a pandas UDF is the sanctioned vectorized alternative.
+
+    Round 6: lane minima compare raw 16-byte digests (hex encoding is
+    order-preserving, so min(digest).hex() == min(hexdigest) — asserted in
+    test_dedup against the Column oracle) and shingle hashes are memoized
+    per worker (_MH_CACHE), which removes the 8-md5-per-shingle recompute
+    for every repeated boilerplate shingle in the corpus."""
+    cache = _MH_CACHE
+    md5 = hashlib.md5
+    prefixes = [b"%d:" % j for j in range(num_hashes)]
     out = []
     for t in texts:
         toks = (t or "").split(" ")
         n = max(len(toks) - (shingle_n - 1), 1)
         shingles = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
-        out.append(
-            [
-                min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shingles)
-                for j in range(num_hashes)
-            ]
-        )
+        mins: list[bytes] | None = None
+        for s in shingles:
+            ds = cache.get(s)
+            if ds is None or len(ds) < num_hashes:
+                sb = s.encode()
+                ds = [md5(p + sb).digest() for p in prefixes]
+                if len(cache) >= _MH_CACHE_CAP:
+                    cache.clear()
+                cache[s] = ds
+            if mins is None:
+                mins = ds[:num_hashes]
+            else:
+                mins = [a if a <= b else b for a, b in zip(mins, ds)]
+        out.append([m.hex() for m in mins])
     return pd.Series(out)
 
 
