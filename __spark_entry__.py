@@ -378,10 +378,12 @@ def _q_pack_assignments(spark, sf_dir):
 
 
 def _q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    """Brute-force cosine top-10 vs the vec_id=0 query vector. Round 6: the
+    query row is attached by a broadcast cross-join instead of a driver
+    ``.first()`` — one Spark job instead of two, same doubles, same
+    result."""
     e = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.brute_force_topk(e, qv, k=10)
+    return sim.brute_force_topk_by_id(e, 0, k=10)
 
 
 def _q_centroid_topk_per_label(spark, sf_dir):
@@ -447,18 +449,33 @@ def _q_pricing_summary(spark, sf_dir):
 
 
 def _q_revenue_top_customers(spark, sf_dir):
-    """J2-J4 analog: broadcast dim joins + top-K revenue (Q10-ish)."""
+    """J2-J4 analog: broadcast dim joins + top-K revenue (Q10-ish).
+
+    Round 6 (guide §2.3 'aggregate before you shuffle'): revenue is
+    pre-aggregated per l_orderkey BEFORE the orders join — partial
+    aggregation runs map-side inside the scan tasks (lineitem is
+    orderkey-clustered, so ~4 items collapse per order), shrinking what
+    the join and the customer rollup consume from O(items) to O(orders).
+    Decimal sums are exact, so sum-of-per-order-sums == the flat sum and
+    count becomes sum of per-order counts — result-identical (A/B
+    collect-asserted; oracle text unchanged). sf1: 3.2 s -> 2.3 s."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    liagg = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_rev"), F.count("*").alias("_n")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        liagg.join(o, liagg.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_n").cast("long").alias("n_items"),
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
     )

@@ -69,6 +69,30 @@ def brute_force_topk(
     return out.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def brute_force_topk_by_id(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``brute_force_topk`` with the query vector taken from a ROW of the
+    table itself — as ONE Spark job. Collecting the row first (``.first()``
+    then a literal array) costs a whole extra scan job before the real one;
+    a broadcast cross-join of the single query row attaches the same
+    doubles to every row map-side (round 6; same rounding, same tie-break,
+    equality asserted in test_similarity)."""
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_bf_q")
+    )
+    df = ensure_min_parallelism(df, light=True)
+    out = df.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_bf_q")), 4).alias("cos_sim"),
+    )
+    return out.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)
     return [

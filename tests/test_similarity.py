@@ -251,3 +251,18 @@ def test_sub_bucket_refinement_splits_diverse_hot_bucket(spark):
     assert (1000, 1001) in got_pairs  # identical-direction pair survives
     # far fewer than the uncapped O(n^2) join (C(62,2) + 2*62 + 1 = 2016)
     assert 0 < len(refined) < 800
+
+
+def test_brute_force_topk_by_id_matches_literal_form(spark):
+    """Round 6: the one-job broadcast-join form must return exactly the
+    two-job (.first() + literal) form's rows."""
+    from invoice_extraction_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_by_id,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    a = [tuple(r) for r in brute_force_topk(e, qv, k=10).collect()]
+    b = [tuple(r) for r in brute_force_topk_by_id(e, 0, k=10).collect()]
+    assert a == b and len(a) == 10
