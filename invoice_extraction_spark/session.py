@@ -59,7 +59,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Local mode runs driver + all executors in ONE JVM: 8g across 32
+        # concurrent tasks was ~150 MB of execution memory per task, and a
+        # query sequence accumulates broadcasts until GC pressure inflated
+        # later queries 2-4x (measured: span_dedup_stats 1.8 s alone but
+        # 7 s after five revenue reps' orders broadcasts). 32g is sized to
+        # this 128 GiB box and stays an env-tunable (-Xmx cap, not a
+        # reservation); clusters size executor memory explicitly anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Scan-parallelism floor (guide §6 input split size): without it a

@@ -290,6 +290,19 @@ def run_curate_stream(
                     batch, text_col, id_col, num_bands * rows_per_band
                 )
                 sig_idx = load_rows(sp, dirs["sigs"], before_seq=batch_id)
+                if band_idx is not None and sig_idx is None:
+                    # an index root populated with --no-near-verify has
+                    # bands but no sigs: silently skipping the tier would
+                    # disable cross-batch near dedup for every subsequent
+                    # batch (ADVICE r5) — fail loudly, the config changed
+                    # mid-index-lifetime
+                    raise ValueError(
+                        "near_verify=True but the band index at "
+                        f"{dirs['bands']} has no signature sibling "
+                        f"({dirs['sigs']} is empty) — the index was built "
+                        "with near_verify=False; rebuild the index or keep "
+                        "near_verify off for its lifetime"
+                    )
                 if band_idx is not None and sig_idx is not None:
                     batch = dedup_incremental_sigverify(
                         batch,
@@ -425,7 +438,18 @@ def run_curate_stream(
                     f"{dirs['bands']}/seq={batch_id}"
                 )
         if emb_kept is not None:
-            emb_kept.select("id", "v", "bucket", "is_primary").write.mode(
+            # the emb delta must hold exactly the COMMITTED corpus: tiers
+            # after 3b (the quota gate) may drop docs whose vectors are in
+            # emb_kept, and persisting those would make a future near-dup
+            # of a never-committed doc silently drop (ADVICE r5 medium) —
+            # derive the delta from the final survivor frame, mirroring
+            # surv_sigs
+            emb_out = emb_kept
+            if max_per_domain is not None:
+                emb_out = emb_kept.join(
+                    out.select(F.col(id_col).alias("id")), "id", "left_semi"
+                )
+            emb_out.select("id", "v", "bucket", "is_primary").write.mode(
                 "overwrite"
             ).parquet(f"{dirs['emb']}/seq={batch_id}")
         if gram_delta is not None:

@@ -434,7 +434,9 @@ def main(argv=None):
 
         df = record(
             "domain_quota",
-            domain_quota_filter(df, args.max_per_domain, url_col="url"),
+            # url_col follows --id-col like the streaming path (ADVICE r5:
+            # a hardcoded "url" diverged the two modes for renamed columns)
+            domain_quota_filter(df, args.max_per_domain, url_col=id_col),
         )
     if args.mixture:
         from invoice_extraction_spark.operators.sampling import mixture_sample

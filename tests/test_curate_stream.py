@@ -350,3 +350,77 @@ def test_per_batch_retention_stats(spark, tmp_path):
     assert rows[(1, "exact")] == 1  # z9 dropped vs history
     _run(spark, dirs, **kw)  # replay: stats unchanged
     assert len(load_rows(spark, f"{idx}/stats").collect()) == 6
+
+
+def test_quota_and_embedding_tiers_compose(spark, tmp_path):
+    """ADVICE r5 (medium): with BOTH --embedding-dedup and --max-per-domain
+    on, a doc that clears the embedding tier but is then quota-dropped must
+    NOT leave its vector in the membership index — otherwise a later doc
+    whose vector near-dups the never-committed one is silently dropped as a
+    'history' near-dup. The emb delta must hold exactly the committed
+    corpus."""
+    import numpy as np
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rng = np.random.default_rng(7)
+    va = unit(rng.normal(size=8))
+    vb = unit(rng.normal(size=8))  # ~orthogonal to va in 8-dim w.h.p.
+    vb_near = unit(np.asarray(vb) + 0.005 * rng.normal(size=8))
+
+    src, tbl, idx, ckpt = dirs = _dirs(tmp_path)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, text string, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(
+        schema="url string, text string, embedding array<double>",
+        embedding_col="embedding",
+        embedding_dim=8,
+        embedding_n_probe=0,
+        max_per_domain=1,
+    )
+    # batch 1: two docs of ONE domain, distinct texts + vectors — both
+    # clear the embedding tier, the quota keeps exactly one
+    write([
+        ("https://one.dom.com/a", GOOD, va),
+        ("https://one.dom.com/b", FRESH, vb),
+    ])
+    _run(spark, dirs, **kw)
+    committed = set(_texts(spark, tbl))
+    assert len(committed) == 1, committed
+    dropped_vec = vb if committed == {"https://one.dom.com/a"} else va
+    near_dropped = (
+        vb_near
+        if committed == {"https://one.dom.com/a"}
+        else unit(np.asarray(va) + 0.005 * rng.normal(size=8))
+    )
+    # the membership index holds ONLY the committed doc's vector
+    from invoice_extraction_spark.streaming.embedding_dedup_stream import (
+        load_membership_index,
+    )
+
+    mb = load_membership_index(spark, index_dirs(idx)["emb"])
+    assert {r["id"] for r in mb.select("id").distinct().collect()} == committed
+    # batch 2 (other domain): near-dup of the DROPPED vector must survive
+    write([("https://two.dom.net/c", SP1, near_dropped)])
+    _run(spark, dirs, **kw)
+    assert "https://two.dom.net/c" in set(_texts(spark, tbl))
+
+
+def test_near_verify_requires_sig_index(spark, tmp_path):
+    """ADVICE r5 (low): an index root built with near_verify=False has
+    bands but no signatures — flipping near_verify on must FAIL LOUDLY
+    instead of silently skipping cross-batch near dedup forever."""
+    import pytest as _pytest
+
+    dirs = _dirs(tmp_path)
+    _write_batch(spark, dirs[0], [("g1", GOOD)])
+    _run(spark, dirs, near=True, near_verify=False)
+    _write_batch(spark, dirs[0], [("n1", NEAR)])
+    with _pytest.raises(Exception, match="signature sibling"):
+        _run(spark, dirs, near=True, near_verify=True)
