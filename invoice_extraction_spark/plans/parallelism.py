@@ -51,6 +51,14 @@ def effective_scan_parallelism(df: DataFrame, cap: int) -> int | None:
     driver-side work; never do O(files) of them at scale).
     """
     try:
+        # the row-group argument below is only sound for a SCAN-shaped
+        # frame (projections/filters over one file relation): a join,
+        # union or aggregate redistributes rows, inputFiles() unions every
+        # leaf's files, and summed row groups would misstate the actual
+        # row placement — fall back to the plan's partition count there
+        lp = df._jdf.queryExecution().analyzed().toString()
+        if "Join" in lp or "Union" in lp or "Aggregate" in lp:
+            return None
         files = df.inputFiles()
     except Exception:
         return None

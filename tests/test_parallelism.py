@@ -174,3 +174,24 @@ def test_extract_skips_salted_shuffle_when_scan_already_parallel(
         ).collect()
     )
     assert a == b
+
+
+def test_effective_scan_parallelism_declines_non_scan_plans(spark, tmp_path_factory):
+    """Joined/aggregated frames redistribute rows, so summed row groups of
+    their leaf files would misstate placement — the helper must return
+    None (callers fall back to the plan's partition count). Regression
+    guard for the resumed-extraction shape (pending_source = anti-join)."""
+    from invoice_extraction_spark.plans.parallelism import (
+        effective_scan_parallelism,
+    )
+
+    p = str(tmp_path_factory.mktemp("esp") / "t.parquet")
+    spark.range(100).repartition(6).write.parquet(p)
+    df = spark.read.parquet(p)
+    keys = spark.range(50).withColumnRenamed("id", "k")
+    joined = df.join(keys, df.id == keys.k, "left_anti")
+    assert effective_scan_parallelism(joined, 4) is None
+    agg = df.groupBy("id").count()
+    assert effective_scan_parallelism(agg, 4) is None
+    # plain scan still works
+    assert effective_scan_parallelism(df, 4) >= 4
