@@ -166,6 +166,12 @@ TJ_SPACE_THRESHOLD = -180.0
 
 
 def _decode_literal(raw: bytes) -> str:
+    # escape-free fast path: the tokenizer's literal-string group matches
+    # escapes explicitly, so a string without a backslash needs no unescaping
+    # pass at all — just the latin-1 view (the overwhelmingly common case;
+    # byte-equality with the slow path asserted in test_pdf)
+    if b"\\" not in raw:
+        return raw.decode("latin-1")
     out = bytearray()
     i = 0
     for m in _ESC_RE.finditer(raw):
@@ -310,30 +316,36 @@ def _content_runs(stream: bytes) -> list[tuple[float, float, str]]:
                 tj_parts = []
             # b"]": TJ operator consumes tj_parts
         elif li == 5:
-            o = m.group(5).decode("latin-1")
-            if o == "BT":
+            # operators compared as raw bytes (no per-op latin-1 decode) and
+            # ordered by frequency — Tj and Td dominate real content streams
+            o = m.group(5)
+            if o == b"Tj":
+                if strings:
+                    runs.append((y, x, strings[-1]))
+            elif o in (b"Td", b"TD"):
+                if len(stack) >= 2:
+                    x, y = x + stack[-2], y + stack[-1]
+                    if o == b"TD":
+                        leading = -stack[-1]
+            elif o == b"BT":
                 x = y = 0.0
-            elif o in ("Td", "TD") and len(stack) >= 2:
-                x, y = x + stack[-2], y + stack[-1]
-                if o == "TD":
-                    leading = -stack[-1]
-            elif o == "TL" and stack:
-                leading = stack[-1]
-            elif o == "Tm" and len(stack) >= 6:
-                x, y = stack[-2], stack[-1]
-            elif o == "T*":
+            elif o == b"TL":
+                if stack:
+                    leading = stack[-1]
+            elif o == b"Tm":
+                if len(stack) >= 6:
+                    x, y = stack[-2], stack[-1]
+            elif o == b"T*":
                 y -= leading
-            elif o == "Tj" and strings:
-                runs.append((y, x, strings[-1]))
-            elif o == "'":
+            elif o == b"'":
                 y -= leading
                 if strings:
                     runs.append((y, x, strings[-1]))
-            elif o == '"':
+            elif o == b'"':
                 y -= leading
                 if strings:
                     runs.append((y, x, strings[-1]))
-            elif o == "TJ" and tj_parts is not None:
+            elif o == b"TJ" and tj_parts is not None:
                 runs.append((y, x, "".join(tj_parts)))
                 tj_parts = None
             stack.clear()

@@ -36,6 +36,46 @@ def test_fast_minhash_equals_column_minhash(spark):
     assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
 
 
+def test_minhash_kernel_cache_semantics():
+    """Round-6 kernel internals (tuple cache keys + transposed lane min):
+    the memo must be invisible — identical output cold vs warm, and a
+    cached entry written at one num_hashes must serve a smaller num_hashes
+    call with exactly the first lanes (the [:num_hashes] slice contract)."""
+    import hashlib
+
+    from invoice_extraction_spark.operators import dedup as dd
+
+    texts = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox",  # shares shingles with the first
+            "",  # empty -> single ('',) shingle
+            "one",
+            None,  # kernel treats None as ""
+        ]
+    )
+
+    def expected(t, num_hashes, shingle_n=3):
+        toks = (t or "").split(" ")
+        n = max(len(toks) - (shingle_n - 1), 1)
+        shingles = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
+        sig = []
+        for j in range(num_hashes):
+            sig.append(
+                min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shingles)
+            )
+        return sig
+
+    dd._MH_CACHE.clear()
+    cold8 = list(dd._minhash_kernel(texts, 8, 3))
+    warm8 = list(dd._minhash_kernel(texts, 8, 3))  # all hits now
+    assert cold8 == warm8 == [expected(t, 8) for t in texts]
+    # smaller num_hashes served from the 8-lane cached entries
+    warm6 = list(dd._minhash_kernel(texts, 6, 3))
+    assert warm6 == [expected(t, 6) for t in texts]
+    dd._MH_CACHE.clear()
+
+
 def test_lsh_finds_planted_near_dups(spark):
     d = _docs(spark)
     pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(d).collect()}

@@ -75,6 +75,30 @@ def test_literal_escapes_and_octal():
     assert extract_pdf_pages_text(_wrap(s)) == [["a(b)c A back\\slash"]]
 
 
+def test_decode_literal_fast_path_and_operator_edges():
+    """Round-6 walker internals (escape-free fast path in _decode_literal,
+    bytes-compared operators): escape-free literals must decode identically
+    to the escape-walking path, and malformed operand stacks (Td with one
+    operand, TL with none) must stay no-ops that still clear the stack."""
+    from invoice_extraction_spark.functions.pdf_text import _decode_literal
+
+    # escape-free fast path == slow path output (latin-1 byte view)
+    assert _decode_literal(b"plain text 123 #%&'") == "plain text 123 #%&'"
+    assert _decode_literal(b"caf\xe9") == "café"
+    # escapes still walk the slow path
+    assert _decode_literal(rb"a\(b\)c \101 x\\y") == "a(b)c A x\\y"
+    assert _decode_literal(b"line\\\ncontinued") == "linecontinued"
+    # short-stack operators: no position change, operands consumed
+    s = (
+        b"BT /F1 11 Tf 72 720 Td 5 Td TL (anchored here still) Tj "
+        b"99 (ignored-operand-run) Tf (second) ' ET"
+    )
+    # 5 Td (one operand) and bare TL are no-ops; ' after Tf drops one
+    # leading (0 -> stays 720 band) and shows "second" at the same spot
+    pages = extract_pdf_pages_text(_wrap(s))
+    assert pages == [["anchored here still second"]]
+
+
 def test_hex_utf16_strings():
     runs = [(72.0, 720.0, "Total: ₹830000"), (72.0, 706.0, "किसान बाजार")]
     pdf = build_pdf([content_stream(runs)])
